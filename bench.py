@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Throughput benchmark: k-mer hashes/s/chip at k=32 (headline metric).
+
+Mirrors the reference benchmark harness (reference examples/benchmark.cpp:
+28-45: in-memory random reads, roll-all, checksum) at the BASELINE.json
+config: 1M x 150 bp reads, k=32. Baseline to beat: the reference measured
+1.28e8 hashes/s at k=32 h=1 on one CPU core (BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Methodology note: this TPU is reached through a tunnel with a ~30 ms
+round-trip floor, so single-call timing measures the network. We queue N
+async dispatches back-to-back and synchronize once — the device executes
+them serially, so elapsed/N is true device time per batch.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_H1 = 1.28e8  # reference k=32 h=1 hashes/s, 1 CPU thread (BASELINE.md)
+BASELINE_H4 = 4.30e8  # reference k=32 h=4 hashes/s
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from nthash_tpu import oracle
+    from nthash_tpu.ops.kmer_pallas import hash_kmers_tm
+
+    B, L, k = 1_048_576, 150, 32
+    W = L - k + 1
+    rng = np.random.default_rng(0xBE9C)
+    codes = rng.integers(0, 4, size=(B, L), dtype=np.uint8)
+    tm = jnp.asarray(np.ascontiguousarray(codes.T.astype(np.int32)))
+
+    # --- parity gate: the kernel being timed must be bit-exact ----------
+    sample = hash_kmers_tm(tm, k, 2, interleave=4)
+    got0 = np.asarray(sample[0].hi[:, 0]).astype(np.uint64) << np.uint64(32) | np.asarray(
+        sample[0].lo[:, 0]
+    ).astype(np.uint64)
+    got1 = np.asarray(sample[1].hi[:, 0]).astype(np.uint64) << np.uint64(32) | np.asarray(
+        sample[1].lo[:, 0]
+    ).astype(np.uint64)
+    _, _, expect, _ = oracle.hash_all_windows(codes[0], k, 2)
+    if not (np.array_equal(got0, expect[:, 0]) and np.array_equal(got1, expect[:, 1])):
+        print(json.dumps({"metric": "PARITY_FAILURE", "value": 0,
+                          "unit": "hashes/s", "vs_baseline": 0}))
+        sys.exit(1)
+
+    def measure(h, ni, n=16):
+        f = jax.jit(
+            lambda x: [o.hi[0, ::4096] for o in
+                       hash_kmers_tm(x, k, h, interleave=ni)]
+        )
+        np.asarray(f(tm)[0])  # compile + warm
+        t0 = time.time()
+        rs = [f(tm) for _ in range(n)]
+        np.asarray(rs[-1][0])
+        dt = (time.time() - t0) / n
+        return B * W * h / dt, B * W / dt
+
+    h1_hashes, h1_kmers = measure(1, 4)
+    h4_hashes, h4_kmers = measure(4, 4)
+
+    print(json.dumps({
+        "metric": "kmer_hashes_per_s_per_chip_k32_h1",
+        "value": round(h1_hashes, 1),
+        "unit": "hashes/s",
+        "vs_baseline": round(h1_hashes / BASELINE_H1, 2),
+        "k": k,
+        "read_len": L,
+        "reads": B,
+        "h1_kmers_per_s": round(h1_kmers, 1),
+        "h4_hashes_per_s": round(h4_hashes, 1),
+        "h4_vs_baseline": round(h4_hashes / BASELINE_H4, 2),
+        "parity": "bit-exact (oracle-checked)",
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,643 @@
+"""Stateful iterator facade: API parity with the reference's public classes.
+
+Mirrors the reference header (include/nthash/nthash.hpp:62-646): ``NtHash``,
+``BlindNtHash``, ``SeedNtHash``, ``BlindSeedNtHash``, and ``parse_seeds``,
+with the same roll/roll_back/peek/peek_back/hashes/get_* surface and the same
+position/N-skip semantics (including the SeedNtHash init quirk, reference
+src/seed.cpp:151). Fatal constructor errors raise :class:`ValueError` with
+the reference's messages instead of calling ``exit(1)``; the non-palindrome
+seed check emits a :class:`UserWarning` (reference src/seed.cpp:85-104).
+
+Design: the stored-sequence classes are a thin stateful view over the batched
+device engines — all window hashes are computed once (vectorized, on TPU when
+available), then iteration is pointer movement. The Blind classes keep O(1)
+host-side carried state exactly like the reference's deque design, since they
+exist to be fed one caller-chosen base at a time (de Bruijn graph probing);
+for bulk caller-fed streams use the batched engines or models.pipeline.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Sequence
+
+import numpy as np
+
+from . import oracle
+from .constants import (
+    CODE_N,
+    COMP_CODE,
+    SEEDS,
+    encode_ascii,
+    extend_hashes,
+    srol_seed,
+)
+
+__all__ = [
+    "NtHash",
+    "BlindNtHash",
+    "SeedNtHash",
+    "BlindSeedNtHash",
+    "parse_seeds",
+    "NTHASH_FN_NAME",
+]
+
+from .constants import NTHASH_FN_NAME
+
+#: Sequence length at/above which "auto" uses the batched JAX engine;
+#: below it the host oracle avoids device round-trips for tiny inputs.
+AUTO_DEVICE_THRESHOLD = 2048
+
+
+def parse_seeds(seed_strings: Sequence[str]) -> list[list[int]]:
+    """Pattern strings -> per-seed don't-care position lists
+    (reference src/seed.cpp:431-447, legacy btllib interface)."""
+    return oracle.parse_seeds(seed_strings)
+
+
+def _as_codes(seq) -> np.ndarray:
+    if isinstance(seq, np.ndarray):
+        return np.minimum(seq.astype(np.uint8), CODE_N)
+    return encode_ascii(seq)
+
+
+class NtHash:
+    """Rolling k-mer hasher over a stored sequence (reference nthash.hpp:62-211).
+
+    >>> h = NtHash("TGACTGATCGAGTCGTACTAG", 1, 5)
+    >>> while h.roll():
+    ...     _ = h.hashes()
+    """
+
+    _CLASS = "NtHash"
+
+    def __init__(self, seq, num_hashes: int, k: int, pos: int = 0, *,
+                 engine: str = "auto"):
+        self._codes = _as_codes(seq)
+        self._num_hashes = int(num_hashes)
+        self._k = int(k)
+        self._pos = int(pos)
+        self._initialized = False
+        self._engine = engine
+        self._table = None
+        self._fwd = 0
+        self._rev = 0
+        self._hash_arr = np.zeros(self._num_hashes, dtype=np.uint64)
+        n = len(self._codes)
+        if self._k == 0:
+            raise ValueError(f"[ntHash::{self._CLASS}] k must be greater than 0")
+        if n < self._k:
+            raise ValueError(
+                f"[ntHash::{self._CLASS}] sequence length ({n}) is smaller "
+                f"than k ({self._k})"
+            )
+        if self._pos > n - self._k:
+            raise ValueError(
+                f"[ntHash::{self._CLASS}] passed position ({self._pos}) is "
+                f"larger than sequence length ({n})"
+            )
+
+    # -- internals ---------------------------------------------------------
+
+    def _ensure_table(self):
+        """Compute (fwd, rev, hashes, valid) for every window, once."""
+        if self._table is not None:
+            return
+        use_device = self._engine == "jnp" or (
+            self._engine == "auto" and len(self._codes) >= AUTO_DEVICE_THRESHOLD
+        )
+        if use_device:
+            from .ops.kmer_jnp import hash_kmers
+
+            res = hash_kmers(self._codes, self._k, self._num_hashes)
+            self._table = (
+                res.fwd.to_np(),
+                res.rev.to_np(),
+                res.hashes.to_np(),
+                np.asarray(res.valid),
+            )
+        else:
+            self._table = oracle.hash_all_windows(
+                self._codes, self._k, self._num_hashes
+            )
+
+    def _load(self, pos: int):
+        fwd, rev, hashes, _ = self._table
+        self._fwd = int(fwd[pos])
+        self._rev = int(rev[pos])
+        self._hash_arr = hashes[pos].copy()
+
+    def _init(self) -> bool:
+        """Find the first valid window at/after pos (reference kmer.cpp:228-244)."""
+        self._ensure_table()
+        last = len(self._codes) - self._k
+        valid = self._table[3]
+        p = self._pos
+        while p <= last and not valid[p]:
+            p += 1
+        self._pos = p
+        if p > last:
+            return False
+        self._load(p)
+        self._initialized = True
+        return True
+
+    # -- public API --------------------------------------------------------
+
+    def roll(self) -> bool:
+        """Advance to the next valid k-mer (reference kmer.cpp:246-264)."""
+        if not self._initialized:
+            return self._init()
+        last = len(self._codes) - self._k
+        if self._pos >= last:
+            return False
+        if self._codes[self._pos + self._k] == CODE_N:
+            self._pos += self._k
+            return self._init()
+        self._pos += 1
+        self._load(self._pos)
+        return True
+
+    def roll_back(self) -> bool:
+        """Roll one k-mer backwards (reference kmer.cpp:266-289)."""
+        if not self._initialized:
+            return self._init()
+        if self._pos == 0:
+            return False
+        prev_invalid = self._codes[self._pos - 1] == CODE_N
+        if prev_invalid and self._pos >= self._k:
+            self._pos -= self._k
+            return self._init()
+        if prev_invalid:
+            return False
+        self._pos -= 1
+        self._load(self._pos)
+        return True
+
+    def peek(self, char_in: str | None = None) -> bool:
+        """Hash the next k-mer into hashes() without advancing
+        (reference kmer.cpp:291-313)."""
+        if char_in is None:
+            if self._pos >= len(self._codes) - self._k:
+                return False
+            return self.peek(self._codes[self._pos + self._k])
+        if not self._initialized:
+            return self._init()
+        code_in = int(_as_codes(char_in)[0]) if isinstance(char_in, str) else int(char_in)
+        if code_in == CODE_N:
+            return False
+        code_out = int(self._codes[self._pos])
+        fwd = oracle.next_forward_hash(self._fwd, self._k, code_out, code_in)
+        rev = oracle.next_reverse_hash(self._rev, self._k, code_out, code_in)
+        self._hash_arr = np.array(
+            extend_hashes(fwd, rev, self._k, self._num_hashes), dtype=np.uint64
+        )
+        return True
+
+    def peek_back(self, char_in: str | None = None) -> bool:
+        """Hash the previous k-mer into hashes() without moving
+        (reference kmer.cpp:315-336)."""
+        if char_in is None:
+            if self._pos == 0:
+                return False
+            return self.peek_back(self._codes[self._pos - 1])
+        if not self._initialized:
+            return self._init()
+        code_in = int(_as_codes(char_in)[0]) if isinstance(char_in, str) else int(char_in)
+        if code_in == CODE_N:
+            return False
+        code_out = int(self._codes[self._pos + self._k - 1])
+        fwd = oracle.prev_forward_hash(self._fwd, self._k, code_out, code_in)
+        rev = oracle.prev_reverse_hash(self._rev, self._k, code_out, code_in)
+        self._hash_arr = np.array(
+            extend_hashes(fwd, rev, self._k, self._num_hashes), dtype=np.uint64
+        )
+        return True
+
+    def hashes(self) -> np.ndarray:
+        """Current hash values (length get_hash_num())."""
+        return self._hash_arr
+
+    def get_pos(self) -> int:
+        return self._pos
+
+    def get_hash_num(self) -> int:
+        return self._num_hashes
+
+    def get_k(self) -> int:
+        return self._k
+
+    def get_forward_hash(self) -> int:
+        return self._fwd
+
+    def get_reverse_hash(self) -> int:
+        return self._rev
+
+    def copy(self) -> "NtHash":
+        """Deep copy (parity with the reference copy ctor, nthash.hpp:95-107)."""
+        new = object.__new__(type(self))
+        new.__dict__.update(self.__dict__)
+        new._hash_arr = self._hash_arr.copy()
+        return new
+
+    def __iter__(self):
+        while self.roll():
+            yield self._hash_arr
+
+
+class BlindNtHash:
+    """Caller-fed k-mer hasher for de Bruijn graph traversal
+    (reference nthash.hpp:213-311, src/kmer.cpp:338-393).
+
+    Holds only a k-base window; the caller supplies each next/previous base.
+    No N handling — the caller guarantees valid bases (an invalid base hashes
+    with the zero seed, exactly like the reference).
+    """
+
+    _CLASS = "BlindNtHash"
+
+    def __init__(self, seq, num_hashes: int, k: int, pos: int = 0):
+        if k == 0:
+            raise ValueError(f"[ntHash::{self._CLASS}] k must be greater than 0")
+        codes = _as_codes(seq)
+        self._window = list(int(c) for c in codes[pos : pos + k])
+        self._num_hashes = int(num_hashes)
+        self._pos = int(pos)
+        self._fwd = oracle.forward_hash(np.array(self._window, np.uint8), k)
+        self._rev = oracle.reverse_hash(np.array(self._window, np.uint8), k)
+        self._hash_arr = np.array(
+            extend_hashes(self._fwd, self._rev, k, self._num_hashes),
+            dtype=np.uint64,
+        )
+
+    @staticmethod
+    def _code(ch) -> int:
+        return int(_as_codes(ch)[0]) if isinstance(ch, str) else int(ch)
+
+    def roll(self, char_in) -> None:
+        """Slide right by the caller-supplied base (reference kmer.cpp:355-364)."""
+        k = len(self._window)
+        code_in = self._code(char_in)
+        code_out = self._window[0]
+        self._fwd = oracle.next_forward_hash(self._fwd, k, code_out, code_in)
+        self._rev = oracle.next_reverse_hash(self._rev, k, code_out, code_in)
+        self._hash_arr = np.array(
+            extend_hashes(self._fwd, self._rev, k, self._num_hashes), np.uint64
+        )
+        self._window.pop(0)
+        self._window.append(code_in)
+        self._pos += 1
+
+    def roll_back(self, char_in) -> None:
+        """Slide left by the caller-supplied base (reference kmer.cpp:366-375)."""
+        k = len(self._window)
+        code_in = self._code(char_in)
+        code_out = self._window[-1]
+        self._fwd = oracle.prev_forward_hash(self._fwd, k, code_out, code_in)
+        self._rev = oracle.prev_reverse_hash(self._rev, k, code_out, code_in)
+        self._hash_arr = np.array(
+            extend_hashes(self._fwd, self._rev, k, self._num_hashes), np.uint64
+        )
+        self._window.pop()
+        self._window.insert(0, code_in)
+        self._pos -= 1
+
+    def peek(self, char_in) -> None:
+        """Hash of the window rolled right, without committing
+        (reference kmer.cpp:377-384)."""
+        k = len(self._window)
+        code_in = self._code(char_in)
+        fwd = oracle.next_forward_hash(self._fwd, k, self._window[0], code_in)
+        rev = oracle.next_reverse_hash(self._rev, k, self._window[0], code_in)
+        self._hash_arr = np.array(
+            extend_hashes(fwd, rev, k, self._num_hashes), np.uint64
+        )
+
+    def peek_back(self, char_in) -> None:
+        """Hash of the window rolled left, without committing
+        (reference kmer.cpp:386-393)."""
+        k = len(self._window)
+        code_in = self._code(char_in)
+        fwd = oracle.prev_forward_hash(self._fwd, k, self._window[-1], code_in)
+        rev = oracle.prev_reverse_hash(self._rev, k, self._window[-1], code_in)
+        self._hash_arr = np.array(
+            extend_hashes(fwd, rev, k, self._num_hashes), np.uint64
+        )
+
+    def hashes(self) -> np.ndarray:
+        return self._hash_arr
+
+    def get_pos(self) -> int:
+        return self._pos
+
+    def get_hash_num(self) -> int:
+        return self._num_hashes
+
+    def get_k(self) -> int:
+        return len(self._window)
+
+    def get_forward_hash(self) -> int:
+        return self._fwd
+
+    def get_reverse_hash(self) -> int:
+        return self._rev
+
+    def copy(self) -> "BlindNtHash":
+        new = object.__new__(type(self))
+        new.__dict__.update(self.__dict__)
+        new._window = list(self._window)
+        new._hash_arr = self._hash_arr.copy()
+        return new
+
+
+def _check_seeds(seeds: Sequence[str], k: int, cls: str):
+    """Reference src/seed.cpp:85-104: length mismatch fatal, asymmetry warns."""
+    for seed in seeds:
+        if len(seed) != k:
+            raise ValueError(
+                f"[ntHash::{cls}] Spaced seed string length ({len(seed)}) "
+                f"not equal to k={k} in {seed}"
+            )
+        if seed != seed[::-1]:
+            warnings.warn(
+                f"[ntHash::{cls}] Seed {seed} is not symmetric, "
+                "reverse-complement hashing will be inconsistent",
+                UserWarning,
+                stacklevel=3,
+            )
+
+
+def _seeds_from_parsed(parsed: Sequence[Sequence[int]], k: int) -> tuple[str, ...]:
+    """Don't-care position lists -> pattern strings (reference seed.cpp:68-83)."""
+    out = []
+    for dont_care in parsed:
+        pattern = ["1"] * k
+        for i in dont_care:
+            pattern[i] = "0"
+        out.append("".join(pattern))
+    return tuple(out)
+
+
+class SeedNtHash:
+    """Rolling spaced-seed hasher over a stored sequence
+    (reference nthash.hpp:313-521, src/seed.cpp:449-667).
+
+    ``seeds`` may be pattern strings ("10101") or parsed don't-care position
+    lists (the legacy btllib interface, reference seed.cpp:473-491).
+
+    Faithfully replicates the reference's N-handling: the init scan never
+    fails on N (it hashes with the zero seed, reference src/seed.cpp:151);
+    only an N *entering* during a roll triggers the skip.
+    """
+
+    _CLASS = "SeedNtHash"
+
+    def __init__(self, seq, seeds, num_hashes_per_seed: int, k: int,
+                 pos: int = 0, *, engine: str = "auto"):
+        self._codes = _as_codes(seq)
+        if seeds and not isinstance(seeds[0], str):
+            self._seeds = _seeds_from_parsed(seeds, k)
+        else:
+            self._seeds = tuple(seeds)
+            _check_seeds(self._seeds, k, self._CLASS)
+            if len(self._seeds[0]) != k:
+                raise ValueError(
+                    f"[ntHash::{self._CLASS}] k should be equal to seed "
+                    "string lengths"
+                )
+        self._num_hashes_per_seed = int(num_hashes_per_seed)
+        self._k = int(k)
+        self._pos = int(pos)
+        self._initialized = False
+        self._engine = engine
+        self._table = None
+        self._care = [
+            oracle.seed_positions_of(b, m)
+            for b, m in zip(*oracle.get_blocks(self._seeds))
+        ]
+        s = len(self._seeds)
+        self._fwd = np.zeros(s, dtype=np.uint64)
+        self._rev = np.zeros(s, dtype=np.uint64)
+        self._hash_arr = np.zeros(s * self._num_hashes_per_seed, np.uint64)
+
+    def _ensure_table(self):
+        if self._table is not None:
+            return
+        use_device = self._engine == "jnp" or (
+            self._engine == "auto" and len(self._codes) >= AUTO_DEVICE_THRESHOLD
+        )
+        if use_device:
+            from .ops.seed_jnp import hash_kmers_seeds
+
+            res = hash_kmers_seeds(
+                self._codes, self._seeds, self._num_hashes_per_seed
+            )
+            self._table = (res.fwd.to_np(), res.rev.to_np(), res.hashes.to_np())
+        else:
+            self._table = oracle.hash_all_windows_seeds(
+                self._codes, self._seeds, self._num_hashes_per_seed
+            )
+
+    def _load(self, pos: int):
+        fwd, rev, hashes = self._table
+        self._fwd = fwd[pos].copy()
+        self._rev = rev[pos].copy()
+        self._hash_arr = hashes[pos].copy()
+
+    def _init(self) -> bool:
+        """Reference seed.cpp:493-516 — with the quirk, the scan accepts the
+        first in-range position unconditionally."""
+        self._ensure_table()
+        if self._pos > len(self._codes) - self._k:
+            return False
+        self._load(self._pos)
+        self._initialized = True
+        return True
+
+    def roll(self) -> bool:
+        """Reference seed.cpp:518-544."""
+        if not self._initialized:
+            return self._init()
+        last = len(self._codes) - self._k
+        if self._pos >= last:
+            return False
+        if self._codes[self._pos + self._k] == CODE_N:
+            self._pos += self._k
+            return self._init()
+        self._pos += 1
+        self._load(self._pos)
+        return True
+
+    def roll_back(self) -> bool:
+        """Reference seed.cpp:546-575."""
+        if not self._initialized:
+            return self._init()
+        if self._pos == 0:
+            return False
+        prev_invalid = self._codes[self._pos - 1] == CODE_N
+        if prev_invalid and self._pos >= self._k:
+            self._pos -= self._k
+            return self._init()
+        if prev_invalid:
+            return False
+        self._pos -= 1
+        self._load(self._pos)
+        return True
+
+    def _window_hashes(self, window: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(self._seeds) * self._num_hashes_per_seed, np.uint64)
+        for si, positions in enumerate(self._care):
+            fh = oracle.seed_forward_hash(window, self._k, positions)
+            rh = oracle.seed_reverse_hash(window, self._k, positions)
+            out[
+                si * self._num_hashes_per_seed : (si + 1) * self._num_hashes_per_seed
+            ] = extend_hashes(fh, rh, self._k, self._num_hashes_per_seed)
+        return out
+
+    def peek(self, char_in: str | None = None) -> bool:
+        """Reference seed.cpp:577-623: hash of the next window into hashes()
+        without advancing."""
+        if char_in is None:
+            if self._pos >= len(self._codes) - self._k:
+                return False
+            return self.peek(self._codes[self._pos + self._k])
+        if not self._initialized:
+            return self._init()
+        code_in = int(_as_codes(char_in)[0]) if isinstance(char_in, str) else int(char_in)
+        window = np.concatenate(
+            [self._codes[self._pos + 1 : self._pos + self._k], [code_in]]
+        ).astype(np.uint8)
+        self._hash_arr = self._window_hashes(window)
+        return True
+
+    def peek_back(self, char_in: str | None = None) -> bool:
+        """Reference seed.cpp:625-667."""
+        if char_in is None:
+            if self._pos == 0:
+                return False
+            return self.peek_back(self._codes[self._pos - 1])
+        if not self._initialized:
+            return self._init()
+        code_in = int(_as_codes(char_in)[0]) if isinstance(char_in, str) else int(char_in)
+        window = np.concatenate(
+            [[code_in], self._codes[self._pos : self._pos + self._k - 1]]
+        ).astype(np.uint8)
+        self._hash_arr = self._window_hashes(window)
+        return True
+
+    def hashes(self) -> np.ndarray:
+        return self._hash_arr
+
+    def get_pos(self) -> int:
+        return self._pos
+
+    def get_hash_num(self) -> int:
+        return self._num_hashes_per_seed * len(self._seeds)
+
+    def get_hash_num_per_seed(self) -> int:
+        return self._num_hashes_per_seed
+
+    def get_k(self) -> int:
+        return self._k
+
+    def get_forward_hash(self) -> np.ndarray:
+        return self._fwd
+
+    def get_reverse_hash(self) -> np.ndarray:
+        return self._rev
+
+    def copy(self) -> "SeedNtHash":
+        new = object.__new__(type(self))
+        new.__dict__.update(self.__dict__)
+        new._fwd = self._fwd.copy()
+        new._rev = self._rev.copy()
+        new._hash_arr = self._hash_arr.copy()
+        return new
+
+    def __iter__(self):
+        while self.roll():
+            yield self._hash_arr
+
+
+class BlindSeedNtHash:
+    """Caller-fed spaced-seed hasher (reference nthash.hpp:523-646,
+    src/seed.cpp:669-737)."""
+
+    _CLASS = "BlindSeedNtHash"
+
+    def __init__(self, seq, seeds: Sequence[str], num_hashes_per_seed: int,
+                 k: int, pos: int = 0):
+        _check_seeds(seeds, k, self._CLASS)
+        self._seeds = tuple(seeds)
+        self._k = int(k)
+        self._num_hashes_per_seed = int(num_hashes_per_seed)
+        self._pos = int(pos)
+        codes = _as_codes(seq)
+        self._window = list(int(c) for c in codes[pos : pos + k])
+        self._care = [
+            oracle.seed_positions_of(b, m)
+            for b, m in zip(*oracle.get_blocks(self._seeds))
+        ]
+        s = len(self._seeds)
+        self._fwd = np.zeros(s, dtype=np.uint64)
+        self._rev = np.zeros(s, dtype=np.uint64)
+        self._hash_arr = np.zeros(s * num_hashes_per_seed, np.uint64)
+        self._rehash()
+
+    def _rehash(self):
+        window = np.array(self._window, dtype=np.uint8)
+        m2 = self._num_hashes_per_seed
+        for si, positions in enumerate(self._care):
+            fh = oracle.seed_forward_hash(window, self._k, positions)
+            rh = oracle.seed_reverse_hash(window, self._k, positions)
+            self._fwd[si] = fh
+            self._rev[si] = rh
+            self._hash_arr[si * m2 : (si + 1) * m2] = extend_hashes(
+                fh, rh, self._k, m2
+            )
+
+    @staticmethod
+    def _code(ch) -> int:
+        return int(_as_codes(ch)[0]) if isinstance(ch, str) else int(ch)
+
+    def roll(self, char_in) -> None:
+        self._window.pop(0)
+        self._window.append(self._code(char_in))
+        self._pos += 1
+        self._rehash()
+
+    def roll_back(self, char_in) -> None:
+        self._window.pop()
+        self._window.insert(0, self._code(char_in))
+        self._pos -= 1
+        self._rehash()
+
+    def hashes(self) -> np.ndarray:
+        return self._hash_arr
+
+    def get_pos(self) -> int:
+        return self._pos
+
+    def get_hash_num(self) -> int:
+        return self._num_hashes_per_seed * len(self._seeds)
+
+    def get_hash_num_per_seed(self) -> int:
+        return self._num_hashes_per_seed
+
+    def get_k(self) -> int:
+        return self._k
+
+    def get_forward_hash(self) -> np.ndarray:
+        return self._fwd
+
+    def get_reverse_hash(self) -> np.ndarray:
+        return self._rev
+
+    def copy(self) -> "BlindSeedNtHash":
+        new = object.__new__(type(self))
+        new.__dict__.update(self.__dict__)
+        new._window = list(self._window)
+        new._fwd = self._fwd.copy()
+        new._rev = self._rev.copy()
+        new._hash_arr = self._hash_arr.copy()
+        return new

@@ -1,0 +1,81 @@
+"""Count-min sketch over k-mer hashes — the downstream consumer model.
+
+The reference's ecosystem consumes ntHash values in Bloom filters / count
+sketches (reference include/nthash/nthash.hpp:56-58 points at btllib). This
+module provides the TPU-native equivalent: a count-min sketch whose rows are
+indexed by the nte64 extended hashes, updated with a vectorized scatter-add
+and merged across devices with a single psum (the all-reduce the reference
+lacks, SURVEY.md §2.7).
+
+The sketch is the "trainable state" of the flagship pipeline: per batch,
+update = one-hot scatter-add of every valid window's hashes; merge = psum.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..u64 import U64
+
+
+class CountMinSketch(NamedTuple):
+    """rows[r, b]: count of (hash_r mod width) == b. width = 2**width_log2."""
+
+    rows: jnp.ndarray  # [num_rows, width] int32
+
+    @staticmethod
+    def zeros(num_rows: int, width_log2: int) -> "CountMinSketch":
+        return CountMinSketch(
+            jnp.zeros((num_rows, 1 << width_log2), dtype=jnp.int32)
+        )
+
+    @property
+    def width(self) -> int:
+        return self.rows.shape[1]
+
+
+def buckets(hashes: U64, width_log2: int) -> jnp.ndarray:
+    """Bucket index per hash: the low ``width_log2`` bits (width <= 2^32)."""
+    mask = jnp.uint32((1 << width_log2) - 1)
+    return (hashes.lo & mask).astype(jnp.int32)
+
+
+def update(
+    sketch: CountMinSketch,
+    hashes: U64,
+    valid: jnp.ndarray,
+    width_log2: int,
+) -> CountMinSketch:
+    """Scatter-add every valid window's hashes into the sketch.
+
+    hashes: U64 with arrays [..., num_rows] (last axis = hash index),
+    valid: bool of hashes.shape[:-1].
+    """
+    num_rows = sketch.rows.shape[0]
+    idx = buckets(hashes, width_log2).reshape(-1, num_rows)  # [N, R]
+    w = valid.reshape(-1, 1).astype(jnp.int32)
+    w = jnp.broadcast_to(w, idx.shape)
+    rows = sketch.rows
+    upd = jax.vmap(
+        lambda row, i, wi: row.at[i].add(wi, mode="drop"),
+    )(rows, idx.T, w.T)
+    return CountMinSketch(upd)
+
+
+def query(sketch: CountMinSketch, hashes: U64, width_log2: int) -> jnp.ndarray:
+    """Count-min estimate: min over rows of the bucket counts."""
+    idx = buckets(hashes, width_log2)  # [..., R]
+    num_rows = sketch.rows.shape[0]
+    per_row = [
+        jnp.take(sketch.rows[r], idx[..., r], axis=0) for r in range(num_rows)
+    ]
+    return jnp.min(jnp.stack(per_row, axis=-1), axis=-1)
+
+
+def merge(a: CountMinSketch, b: CountMinSketch) -> CountMinSketch:
+    """Sketches are linear: merging is elementwise addition."""
+    return CountMinSketch(a.rows + b.rows)

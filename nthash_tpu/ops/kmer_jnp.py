@@ -38,20 +38,25 @@ from ..u64 import U64
 
 
 class PlaneTables(NamedTuple):
-    """The four 5-entry per-base constant tables for a given k (trace-time)."""
+    """The per-base constant tables for a given k (trace-time)."""
 
-    fwd_in: tuple[int, ...]   # SEED[b]
-    fwd_out: tuple[int, ...]  # srol^k(SEED[b])
-    rev_in: tuple[int, ...]   # srol^(k-1)(SEED[comp(b)])
-    rev_out: tuple[int, ...]  # SEED[comp(b)]
+    fwd_in: tuple[int, ...]    # SEED[b]
+    fwd_out: tuple[int, ...]   # srol^k(SEED[b])
+    rev_in: tuple[int, ...]    # srol^(k-1)(SEED[comp(b)])
+    rev_out: tuple[int, ...]   # SEED[comp(b)]
+    rev_out_r: tuple[int, ...]  # sror(SEED[comp(b)]) — sror folded into the
+    #                             table so the roll-out XOR commutes past it
 
 
 def plane_tables(k: int) -> PlaneTables:
+    from ..constants import sror1 as _sror1
+
     return PlaneTables(
         fwd_in=tuple(SEEDS[b] for b in range(5)),
         fwd_out=tuple(srol_seed(b, k) for b in range(5)),
         rev_in=tuple(srol_seed(COMP_CODE[b], k - 1) for b in range(5)),
         rev_out=tuple(SEEDS[COMP_CODE[b]] for b in range(5)),
+        rev_out_r=tuple(_sror1(SEEDS[COMP_CODE[b]]) for b in range(5)),
     )
 
 

@@ -1,0 +1,201 @@
+"""Pallas TPU kernel for the k-mer rolling-hash hot path.
+
+Speed-of-light design (see /opt/skills/guides/pallas_guide.md):
+
+- Reads are laid out **time-major** ``[L, R]`` and tiled ``(lanes=128,
+  sublanes=8, interleave=NI)`` so one scan step processes ``NI*1024`` reads
+  as a handful of vector registers. The rolling state (fwd/rev limb pairs)
+  lives in registers across the whole fori_loop — zero HBM traffic for
+  state, unlike an XLA-level lax.scan which would round-trip [B] state
+  arrays through HBM every step.
+- Per step: one split-rotate-left, one split-rotate-right, four 5-way
+  constant selects and a handful of XORs — all (NI,8,128) uint32 VPU ops.
+  Cost per window is O(1), independent of k.
+- The only HBM traffic is streaming the code tile in and hash tiles out,
+  double-buffered by the Pallas pipeline across the read-tile grid.
+- ``NI`` (independent interleaved tiles) provides ILP to hide the serial
+  dependency chain of the rolling recurrence.
+
+Bit-exactness: identical recurrence to ops/kmer_jnp.py (same u64 limb ops),
+which is fuzz-tested against the host oracle and the reference golden
+vectors. The kernel additionally runs under ``interpret=True`` in tests.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import u64
+from ..u64 import U64
+from .kmer_jnp import PlaneTables, plane_tables, window_valid
+
+LANES = 128
+SUBLANES = 8
+TILE = LANES * SUBLANES  # reads per (8,128) register tile
+
+
+def _kernel(in_ref, *out_refs, k: int, num_hashes: int, length: int,
+            ni: int, tabs: PlaneTables, emit_fwd_rev: bool):
+    shape = (ni, SUBLANES, LANES)
+
+    def step(t, fwd, rev):
+        """One fully-static roll step (t is a Python int: all indexing is
+        static, warm-up steps skip the roll-out work entirely)."""
+        c_in = in_ref[t]
+        fwd = u64.xor(u64.srol1(fwd), u64.lookup5(c_in, tabs.fwd_in))
+        rev = u64.xor(u64.sror1(rev), u64.lookup5(c_in, tabs.rev_in))
+        if t >= k:
+            c_out = in_ref[t - k]
+            fwd = u64.xor(fwd, u64.lookup5(c_out, tabs.fwd_out))
+            # roll-out on the reverse strand happens before the sror in the
+            # recurrence; compensate with the srol'd constant instead:
+            # sror(x ^ y) == sror(x) ^ sror(y), so fold sror into the table.
+            rev = u64.xor(rev, u64.lookup5(c_out, tabs.rev_out_r))
+        if t >= k - 1:
+            canon = u64.add(fwd, rev)
+            ext = u64.extend_hashes(canon, k, num_hashes)
+            if emit_fwd_rev:
+                ext = ext + [fwd, rev]
+            w = t - k + 1
+            for i, e in enumerate(ext):
+                out_refs[2 * i][w] = e.hi
+                out_refs[2 * i + 1][w] = e.lo
+        return fwd, rev
+
+    fwd = U64.zeros(shape)
+    rev = U64.zeros(shape)
+    for t in range(length):
+        fwd, rev = step(t, fwd, rev)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "num_hashes", "interleave", "emit_fwd_rev",
+                     "interpret"),
+)
+def hash_kmers_tm(
+    codes_tm: jnp.ndarray,
+    k: int,
+    num_hashes: int = 1,
+    *,
+    interleave: int = 4,
+    emit_fwd_rev: bool = False,
+    interpret: bool = False,
+) -> U64:
+    """Hash all k-mer windows of time-major coded reads.
+
+    Args:
+      codes_tm: [L, R] int32 base codes (0-3 valid, 4 invalid), with R a
+        multiple of interleave*1024. Use :func:`prepare_codes` to get this
+        layout from the natural [B, L] uint8 batch.
+      k: k-mer size.
+      num_hashes: canonical + nte64 extensions per window.
+      interleave: independent register tiles per program (ILP knob).
+      emit_fwd_rev: additionally emit the forward and reverse hashes.
+
+    Returns:
+      list of U64 with arrays of shape [W, R]: canonical + extensions
+      (+ fwd, rev if requested) for every window. Window w of read r is at
+      [w, r]. Validity must be derived separately (window_valid).
+    """
+    length, reads = codes_tm.shape
+    ni = interleave
+    if reads % (ni * TILE):
+        raise ValueError(f"R ({reads}) must be a multiple of {ni * TILE}")
+    if length < k:
+        raise ValueError(f"sequence length ({length}) is smaller than k ({k})")
+    w = length - k + 1
+    ntiles = reads // TILE
+    grid = (ntiles // ni,)
+    tabs = plane_tables(k)
+    nout = num_hashes + (2 if emit_fwd_rev else 0)
+
+    x = codes_tm.reshape(length, ntiles, SUBLANES, LANES)
+    block_in = pl.BlockSpec(
+        (length, ni, SUBLANES, LANES), lambda i: (0, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    block_out = pl.BlockSpec(
+        (w, ni, SUBLANES, LANES), lambda i: (0, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((w, ntiles, SUBLANES, LANES), jnp.uint32)
+        for _ in range(2 * nout)
+    )
+
+    # Generous VMEM window (v5e has 128 MB physical): the pipeline needs
+    # double-buffered input + 2*nout output blocks plus compiler stack.
+    vmem_bytes = 64 * 1024 * 1024
+    outs = pl.pallas_call(
+        partial(
+            _kernel,
+            k=k,
+            num_hashes=num_hashes,
+            length=length,
+            ni=ni,
+            tabs=tabs,
+            emit_fwd_rev=emit_fwd_rev,
+        ),
+        grid=grid,
+        in_specs=[block_in],
+        out_specs=tuple(block_out for _ in range(2 * nout)),
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(vmem_bytes, 100 * 1024 * 1024),
+        ),
+        interpret=interpret,
+    )(x)
+
+    return [
+        U64(outs[2 * i].reshape(w, reads), outs[2 * i + 1].reshape(w, reads))
+        for i in range(nout)
+    ]
+
+
+def pad_reads(n: int, interleave: int = 4) -> int:
+    """Smallest multiple of interleave*1024 >= n."""
+    q = interleave * TILE
+    return ((n + q - 1) // q) * q
+
+
+@partial(jax.jit, static_argnames=("interleave",))
+def prepare_codes(codes: jnp.ndarray, interleave: int = 4) -> jnp.ndarray:
+    """[B, L] uint8 codes -> padded time-major [L, R] int32 for the kernel."""
+    b, _ = codes.shape
+    r = pad_reads(b, interleave)
+    codes = codes.astype(jnp.int32)
+    codes = jnp.where(codes > 4, 4, codes)
+    if r != b:
+        codes = jnp.pad(codes, ((0, r - b), (0, 0)), constant_values=4)
+    return codes.T
+
+
+def hash_kmers_batch(
+    codes: jnp.ndarray,
+    k: int,
+    num_hashes: int = 1,
+    *,
+    interleave: int = 4,
+    interpret: bool = False,
+):
+    """Convenience wrapper: [B, L] uint8 batch -> (hashes U64 [B, W, H], valid [B, W]).
+
+    Matches ops.kmer_jnp.hash_kmers output convention for the stacked hashes.
+    """
+    b, _ = codes.shape
+    tm = prepare_codes(codes, interleave)
+    res = hash_kmers_tm(
+        tm, k, num_hashes, interleave=interleave, interpret=interpret
+    )
+    # list of [W, R] -> [B, W, H]
+    hi = jnp.stack([r.hi.T[:b] for r in res], axis=-1)
+    lo = jnp.stack([r.lo.T[:b] for r in res], axis=-1)
+    valid = window_valid(codes.astype(jnp.int32), k)
+    return U64(hi, lo), valid

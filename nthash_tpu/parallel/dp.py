@@ -1,0 +1,66 @@
+"""Data-parallel read sharding: the scale-out axis the reference lacks.
+
+The reference parallelizes by letting callers copy one iterator per thread
+(nthash.hpp:95-107). Here a [B, L] read batch is sharded over the "reads"
+mesh axis with shard_map; each device hashes its shard with the batched
+engine and per-device count-min sketches merge with one psum over ICI/DCN.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.kmer_jnp import hash_kmers
+from ..u64 import U64
+from ..models import sketch as cms
+from .mesh import READS_AXIS
+
+
+def shard_reads(codes: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
+    """Place a [B, L] batch with B sharded over the reads axis."""
+    return jax.device_put(codes, NamedSharding(mesh, P(READS_AXIS, None)))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "num_hashes", "width_log2", "mesh"),
+)
+def hash_and_sketch(
+    codes: jnp.ndarray,
+    sketch: cms.CountMinSketch,
+    k: int,
+    num_hashes: int,
+    width_log2: int,
+    mesh: Mesh,
+):
+    """One full distributed step: hash the sharded batch, update the sketch,
+    all-reduce the sketch across devices.
+
+    Returns (hashes U64 [B, W, H] sharded over reads, valid [B, W] sharded,
+    merged CountMinSketch replicated).
+    """
+
+    def local_step(local_codes, local_rows):
+        res = hash_kmers(local_codes, k, num_hashes)
+        local_sketch = cms.update(
+            cms.CountMinSketch(jnp.zeros_like(local_rows)),
+            res.hashes,
+            res.valid,
+            width_log2,
+        )
+        merged = jax.lax.psum(local_sketch.rows, READS_AXIS)
+        return res.hashes.hi, res.hashes.lo, res.valid, local_rows + merged
+
+    hi, lo, valid, rows = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(READS_AXIS, None), P()),
+        out_specs=(P(READS_AXIS), P(READS_AXIS), P(READS_AXIS), P()),
+        check_vma=False,
+    )(codes, sketch.rows)
+    return U64(hi, lo), valid, cms.CountMinSketch(rows)

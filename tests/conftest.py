@@ -1,21 +1,23 @@
-"""Test configuration: run on a virtual 8-device CPU mesh.
+"""Test configuration: force CPU with a virtual 8-device mesh.
 
-Multi-device sharding tests follow the standard JAX pattern of faking
-devices with ``xla_force_host_platform_device_count`` (no pod required).
-Must run before jax is imported anywhere.
+The ambient environment pins JAX_PLATFORMS to the real TPU tunnel, where
+every jit recompile costs ~30 s — correctness tests run on CPU (TPU
+execution is covered by bench.py and the driver's compile checks). Multi-
+device sharding tests use the standard trick of faking 8 CPU devices.
+
+Note: env vars alone are not enough here because installed pytest plugins
+(jaxtyping) import jax before this conftest runs; jax.config.update works
+as long as no backend has been initialized yet.
 """
 
 import os
 
-# Force CPU: the ambient environment pins JAX_PLATFORMS to the real TPU
-# tunnel, where every jit recompile costs ~30 s. Correctness tests run on
-# CPU; TPU execution is covered by bench.py and the driver's compile checks.
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,108 @@
+"""Distributed tests on a virtual 8-device CPU mesh: DP sharding + psum
+sketch merge, SP halo exchange, determinism across shardings."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nthash_tpu import oracle
+from nthash_tpu.models import sketch as cms
+from nthash_tpu.parallel import dp, sp
+from nthash_tpu.parallel.mesh import SEQ_AXIS, device_mesh
+
+NDEV = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= NDEV
+    return device_mesh(NDEV)
+
+
+def test_dp_hash_and_sketch(rng, mesh):
+    k, h, wlog = 7, 3, 10
+    b, L = 8 * NDEV, 50
+    codes = rng.integers(0, 5, size=(b, L), dtype=np.uint8)
+    sharded = dp.shard_reads(jnp.asarray(codes), mesh)
+    sk = cms.CountMinSketch.zeros(h, wlog)
+    hashes, valid, sk = dp.hash_and_sketch(sharded, sk, k, h, wlog, mesh)
+    got = hashes.to_np()
+    v_all = np.asarray(valid)
+    nvalid = 0
+    for i in range(b):
+        _, _, expect, v = oracle.hash_all_windows(codes[i], k, h)
+        assert np.array_equal(got[i], expect)
+        assert np.array_equal(v_all[i], v)
+        nvalid += int(v.sum())
+    # every valid k-mer counted exactly once, on every row, post-psum
+    for r in range(h):
+        assert int(jnp.sum(sk.rows[r])) == nvalid
+
+
+def test_dp_matches_single_device(rng, mesh):
+    """Determinism across shardings: 8-device result == 1-device result."""
+    k, h, wlog = 5, 2, 8
+    b, L = 16 * NDEV, 30
+    codes = rng.integers(0, 5, size=(b, L), dtype=np.uint8)
+    sk0 = cms.CountMinSketch.zeros(h, wlog)
+    h8, v8, s8 = dp.hash_and_sketch(
+        dp.shard_reads(jnp.asarray(codes), mesh), sk0, k, h, wlog, mesh
+    )
+    mesh1 = device_mesh(1)
+    h1, v1, s1 = dp.hash_and_sketch(
+        dp.shard_reads(jnp.asarray(codes), mesh1), sk0, k, h, wlog, mesh1
+    )
+    assert np.array_equal(h8.to_np(), h1.to_np())
+    assert np.array_equal(np.asarray(s8.rows), np.asarray(s1.rows))
+
+
+def test_sp_long_sequence(rng):
+    k, h = 9, 2
+    mesh = device_mesh(NDEV, SEQ_AXIS)
+    L = 64 * NDEV
+    seq = rng.integers(0, 5, size=(L,), dtype=np.uint8)
+    res, valid = sp.hash_long_sequence(
+        sp.shard_sequence(jnp.asarray(seq), mesh), k, h, mesh
+    )
+    got = res.to_np()
+    _, _, expect, v = oracle.hash_all_windows(seq, k, h)
+    w = L - k + 1
+    assert np.array_equal(got[:w], expect)
+    assert np.array_equal(np.asarray(valid)[:w], v)
+    assert not np.asarray(valid)[w:].any()
+
+
+def test_sp_matches_dp_windows(rng):
+    """The same sequence hashed SP-sharded and unsharded agree."""
+    k, h = 4, 1
+    mesh = device_mesh(4, SEQ_AXIS)
+    L = 32 * 4
+    seq = rng.integers(0, 4, size=(L,), dtype=np.uint8)
+    res, valid = sp.hash_long_sequence(
+        sp.shard_sequence(jnp.asarray(seq), mesh), k, h, mesh
+    )
+    from nthash_tpu.ops.kmer_jnp import hash_kmers
+
+    single = hash_kmers(jnp.asarray(seq), k, h)
+    w = L - k + 1
+    assert np.array_equal(res.to_np()[:w], single.hashes.to_np())
+
+
+def test_sketch_query_counts(rng):
+    """Count-min estimates upper-bound true counts; exact for unique items."""
+    k, h, wlog = 6, 4, 14
+    from nthash_tpu.ops.kmer_jnp import hash_kmers
+
+    codes = rng.integers(0, 4, size=(4, 40), dtype=np.uint8)
+    res = hash_kmers(jnp.asarray(codes), k, h)
+    sk = cms.CountMinSketch.zeros(h, wlog)
+    sk = cms.update(sk, res.hashes, res.valid, wlog)
+    est = np.asarray(cms.query(sk, res.hashes, wlog))
+    # every inserted window must be estimated >= 1, and total mass matches
+    assert (est >= 1).all()
+    assert int(np.asarray(sk.rows[0]).sum()) == int(np.asarray(res.valid).sum())
+    # duplicated batch doubles the counts
+    sk2 = cms.update(sk, res.hashes, res.valid, wlog)
+    est2 = np.asarray(cms.query(sk2, res.hashes, wlog))
+    assert (est2 >= 2).all()
