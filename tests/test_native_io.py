@@ -1,0 +1,79 @@
+"""Native C++ FASTX parser/encoder vs the numpy loader (same semantics)."""
+
+import numpy as np
+import pytest
+
+from nthash_tpu.constants import encode_ascii
+from nthash_tpu.io import native_loader
+from nthash_tpu.io.fasta import encode_batch, read_fastx
+
+pytestmark = pytest.mark.skipif(
+    not native_loader.available(), reason="no C++ toolchain"
+)
+
+
+def test_native_encode_matches_python():
+    seq = b"ACGTacgtUuNnXx \t@>123" * 7
+    assert np.array_equal(native_loader.encode(seq), encode_ascii(seq))
+
+
+def _write_fasta(path, reads):
+    with open(path, "wb") as fh:
+        for i, r in enumerate(reads):
+            fh.write(b">r%d desc\n" % i)
+            # split across lines to exercise multi-line records
+            for j in range(0, len(r), 10):
+                fh.write(r[j : j + 10] + b"\n")
+
+
+def _write_fastq(path, reads):
+    with open(path, "wb") as fh:
+        for i, r in enumerate(reads):
+            fh.write(b"@r%d\n" % i + r + b"\n+\n" + b"I" * len(r) + b"\n")
+
+
+@pytest.mark.parametrize("writer", [_write_fasta, _write_fastq])
+def test_native_parser_matches_numpy(tmp_path, rng, writer):
+    reads = [
+        bytes(rng.choice(list(b"ACGTN"), size=int(n)))
+        for n in rng.integers(5, 40, size=57)
+    ]
+    p = tmp_path / "x.fastx"
+    writer(p, reads)
+
+    expect_all = encode_batch(reads, length=30)
+    with native_loader.NativeFastxParser(p) as parser:
+        got, lengths = [], []
+        for codes, lens in parser.batches(16, 30):
+            got.append(codes)
+            lengths.extend(lens)
+    got = np.concatenate(got)
+    assert got.shape == expect_all.shape
+    assert np.array_equal(got, expect_all)
+    assert lengths == [len(r) for r in reads]
+
+
+def test_native_parser_vs_python_reader(tmp_path):
+    p = tmp_path / "mix.fa"
+    p.write_bytes(b">a\nACGT\nACGT\n\n>b\nNNNN\n>c\nacgtu\n")
+    py = [(n, s) for n, s in read_fastx(p)]
+    with native_loader.NativeFastxParser(p) as parser:
+        codes, lens = parser.next_batch(10, 12)
+    assert len(py) == codes.shape[0] == 3
+    for i, (_, seq) in enumerate(py):
+        assert lens[i] == len(seq)
+        assert np.array_equal(codes[i, : len(seq)], encode_ascii(seq))
+        assert (codes[i, len(seq) :] == 4).all()
+
+
+def test_native_parser_malformed(tmp_path):
+    p = tmp_path / "bad.fq"
+    p.write_bytes(b"@r1\nACGT\nNOPLUS\nIIII\n")
+    with native_loader.NativeFastxParser(p) as parser:
+        with pytest.raises(ValueError, match="missing"):
+            parser.next_batch(4, 10)
+
+
+def test_native_parser_missing_file():
+    with pytest.raises(FileNotFoundError):
+        native_loader.NativeFastxParser("/nonexistent/xx.fa")
