@@ -22,6 +22,9 @@ import numpy as np
 
 BASELINE_H1 = 1.28e8  # reference k=32 h=1 hashes/s, 1 CPU thread (BASELINE.md)
 BASELINE_H4 = 4.30e8  # reference k=32 h=4 hashes/s
+BASELINE_SEED = 1.64e8  # reference SeedNtHash {10101,11011} h=3 hashes/s
+SEEDS = ("10101", "11011")  # BASELINE.json spaced-seed config
+SEED_H = 3
 
 
 def main():
@@ -30,6 +33,7 @@ def main():
 
     from nthash_tpu import oracle
     from nthash_tpu.ops.kmer_pallas import hash_kmers_tm
+    from nthash_tpu.ops.seed_pallas import hash_seeds_tm
 
     B, L, k = 1_048_576, 150, 32
     W = L - k + 1
@@ -38,7 +42,9 @@ def main():
     tm = jnp.asarray(np.ascontiguousarray(codes.T.astype(np.int32)))
 
     # --- parity gate: the kernel being timed must be bit-exact ----------
-    sample = hash_kmers_tm(tm, k, 2, interleave=4)
+    # (run on a 4096-read slice so gate outputs don't pin multi-GB HBM)
+    tm_small = tm[:, :4096]
+    sample = hash_kmers_tm(tm_small, k, 2, interleave=4)
     got0 = np.asarray(sample[0].hi[:, 0]).astype(np.uint64) << np.uint64(32) | np.asarray(
         sample[0].lo[:, 0]
     ).astype(np.uint64)
@@ -50,6 +56,7 @@ def main():
         print(json.dumps({"metric": "PARITY_FAILURE", "value": 0,
                           "unit": "hashes/s", "vs_baseline": 0}))
         sys.exit(1)
+    del sample
 
     def measure(h, ni, n=16):
         f = jax.jit(
@@ -66,6 +73,34 @@ def main():
     h1_hashes, h1_kmers = measure(1, 4)
     h4_hashes, h4_kmers = measure(4, 4)
 
+    # --- spaced seeds (BASELINE.json config: {10101,11011}, h=3) --------
+    ks = len(SEEDS[0])
+    ws = L - ks + 1
+    seed_sample = hash_seeds_tm(tm_small, SEEDS, SEED_H)
+    got_seed = np.asarray(seed_sample[0].hi[:, 1]).astype(np.uint64) << np.uint64(
+        32
+    ) | np.asarray(seed_sample[0].lo[:, 1]).astype(np.uint64)
+    _, _, expect_seed = oracle.hash_all_windows_seeds(codes[1], SEEDS, SEED_H)
+    if not np.array_equal(got_seed, expect_seed[:, 0]):
+        print(json.dumps({"metric": "SEED_PARITY_FAILURE", "value": 0,
+                          "unit": "hashes/s", "vs_baseline": 0}))
+        sys.exit(1)
+    del seed_sample
+
+    def measure_seeds(n=16):
+        f = jax.jit(
+            lambda x: [o.hi[0, ::4096] for o in
+                       hash_seeds_tm(x, SEEDS, SEED_H)]
+        )
+        np.asarray(f(tm)[0])
+        t0 = time.time()
+        rs = [f(tm) for _ in range(n)]
+        np.asarray(rs[-1][0])
+        dt = (time.time() - t0) / n
+        return B * ws * len(SEEDS) * SEED_H / dt
+
+    seed_hashes = measure_seeds()
+
     print(json.dumps({
         "metric": "kmer_hashes_per_s_per_chip_k32_h1",
         "value": round(h1_hashes, 1),
@@ -77,7 +112,9 @@ def main():
         "h1_kmers_per_s": round(h1_kmers, 1),
         "h4_hashes_per_s": round(h4_hashes, 1),
         "h4_vs_baseline": round(h4_hashes / BASELINE_H4, 2),
-        "parity": "bit-exact (oracle-checked)",
+        "seed_hashes_per_s": round(seed_hashes, 1),
+        "seed_vs_baseline": round(seed_hashes / BASELINE_SEED, 2),
+        "parity": "bit-exact (oracle-checked, kmer + spaced-seed)",
     }))
 
 

@@ -1,0 +1,270 @@
+"""Pallas TPU kernel for the spaced-seed ("ntmsm64") hot path.
+
+Rolling reformulation of the reference's block kernel (reference
+src/seed.cpp:177-207): the spaced-seed hash is an XOR of independently-
+rotated per-base seeds over the care positions, so for each maximal care
+run [s, e) rolling the window by one base is exactly two edge updates:
+
+    fwd(w) = srol(fwd(w-1)) ^ srol^(k-e)(SEED[seq[w-1+e]])
+                            ^ srol^(k-s)(SEED[seq[w-1+s]])
+    rev(w) = sror(rev(w-1)) ^ srol^(e-1)(SEED[comp(seq[w-1+e])])
+                            ^ srol^(s-1)(SEED[comp(seq[w-1+s])])
+
+(the srol/sror exponents live in the order-1023 split-rotation group, so
+s-1 = -1 means srol^1022). Unlike the reference there is no monomer
+special-case and no care/ignore complement representation — on TPU every
+care run uses the same two-tap update, and the hash value is identical by
+XOR algebra (the representations only ever differed in CPU op count).
+
+Warm-up needs no separate base-hash pass: taps are guarded by static
+``t >= offset`` checks, so by the time the first full window completes the
+state is exact — the same trick as ops/kmer_pallas.py, which this kernel
+mirrors in layout (time-major [L, R] tiles, rolling state in registers,
+input/output streamed through VMEM by the Pallas pipeline).
+
+N handling matches the reference quirk (src/seed.cpp:151): an invalid base
+contributes the zero seed, and because XOR roll-out exactly cancels
+roll-in, state never corrupts; strict window validity is a separate mask.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import u64
+from ..constants import COMP_CODE, SROL_PERIOD, srol_seed
+from ..u64 import U64
+from .kmer_jnp import window_valid
+from .kmer_pallas import LANES, SUBLANES, TILE, pad_reads, prepare_codes
+
+
+class BlockTaps(NamedTuple):
+    """Trace-time constants for one care run [s, e) of one seed."""
+
+    off_in: int                 # tap offset from t for the entering edge: k - e
+    off_out: int                # tap offset for the leaving edge: k - s
+    fwd_in: tuple[int, ...]     # srol^(k-e)(SEED[b])
+    fwd_out: tuple[int, ...]    # srol^(k-s)(SEED[b])
+    rev_in: tuple[int, ...]     # srol^(e-1)(SEED[comp(b)])
+    rev_out: tuple[int, ...]    # srol^(s-1)(SEED[comp(b)])
+
+
+def care_runs(seed: str) -> list[tuple[int, int]]:
+    """Maximal runs of '1' (care) positions in a pattern string."""
+    runs, start = [], None
+    for i, ch in enumerate(seed):
+        if ch == "1" and start is None:
+            start = i
+        elif ch != "1" and start is not None:
+            runs.append((start, i))
+            start = None
+    if start is not None:
+        runs.append((start, len(seed)))
+    if not runs:
+        raise ValueError(f"seed pattern has no care positions: {seed!r}")
+    return runs
+
+
+def seed_taps(seed: str) -> list[BlockTaps]:
+    k = len(seed)
+    taps = []
+    for s, e in care_runs(seed):
+        taps.append(
+            BlockTaps(
+                off_in=k - e,
+                off_out=k - s,
+                fwd_in=tuple(srol_seed(c, k - e) for c in range(4)) + (0,),
+                fwd_out=tuple(srol_seed(c, k - s) for c in range(4)) + (0,),
+                rev_in=tuple(
+                    srol_seed(COMP_CODE[c], (e - 1) % SROL_PERIOD)
+                    for c in range(4)
+                )
+                + (0,),
+                rev_out=tuple(
+                    srol_seed(COMP_CODE[c], (s - 1) % SROL_PERIOD)
+                    for c in range(4)
+                )
+                + (0,),
+            )
+        )
+    return taps
+
+
+def _kernel(in_ref, *out_refs, k: int, num_hashes: int, length: int,
+            ni: int, all_taps: tuple, emit_fwd_rev: bool):
+    shape = (ni, SUBLANES, LANES)
+    nseeds = len(all_taps)
+    fwd = [U64.zeros(shape) for _ in range(nseeds)]
+    rev = [U64.zeros(shape) for _ in range(nseeds)]
+
+    for t in range(length):
+        # cache tile loads: several blocks/seeds tap the same offset
+        loaded: dict[int, jnp.ndarray] = {}
+
+        def tap(off):
+            if off not in loaded:
+                loaded[off] = in_ref[t - off]
+            return loaded[off]
+
+        for si, taps in enumerate(all_taps):
+            f = u64.srol1(fwd[si])
+            r = u64.sror1(rev[si])
+            for blk in taps:
+                if t >= blk.off_in:
+                    c = tap(blk.off_in)
+                    f = u64.xor(f, u64.lookup5(c, blk.fwd_in))
+                    r = u64.xor(r, u64.lookup5(c, blk.rev_in))
+                if t >= blk.off_out:
+                    c = tap(blk.off_out)
+                    f = u64.xor(f, u64.lookup5(c, blk.fwd_out))
+                    r = u64.xor(r, u64.lookup5(c, blk.rev_out))
+            fwd[si], rev[si] = f, r
+
+        if t >= k - 1:
+            w = t - k + 1
+            o = 0
+            for si in range(nseeds):
+                canon = u64.add(fwd[si], rev[si])
+                ext = u64.extend_hashes(canon, k, num_hashes)
+                if emit_fwd_rev:
+                    ext = ext + [fwd[si], rev[si]]
+                for e in ext:
+                    out_refs[2 * o][w] = e.hi
+                    out_refs[2 * o + 1][w] = e.lo
+                    o += 1
+
+
+#: VMEM budget for auto interleave selection: stay well under the 100 MB
+#: scoped limit (double-buffered input + output blocks + compiler stack).
+_VMEM_BUDGET = 72 * 1024 * 1024
+
+
+def auto_interleave(length: int, w: int, nout: int, reads: int) -> int:
+    """Largest interleave in {8,4,2,1} whose pipelined VMEM blocks fit.
+
+    Per grid step the pipeline holds the input block (length x ni x 1024
+    int32) and each output block (w x ni x 1024 uint32 x 2 limbs x nout).
+    Empirically Mosaic's scoped stack allocation runs ~3x one block set
+    (multi-buffering + spills), hence the factor 3.
+    """
+    for ni in (8, 4, 2, 1):
+        if reads % (ni * TILE):
+            continue
+        per_tile = TILE * 4  # bytes per (8,128) uint32 tile
+        need = 3 * ni * per_tile * (length + 2 * nout * w)
+        if need <= _VMEM_BUDGET:
+            return ni
+    return 1
+
+
+@partial(
+    jax.jit,
+    static_argnames=("seeds", "num_hashes_per_seed", "interleave",
+                     "emit_fwd_rev", "interpret"),
+)
+def hash_seeds_tm(
+    codes_tm: jnp.ndarray,
+    seeds: tuple[str, ...],
+    num_hashes_per_seed: int = 1,
+    *,
+    interleave: int | None = None,
+    emit_fwd_rev: bool = False,
+    interpret: bool = False,
+) -> list[U64]:
+    """Spaced-seed hash of every window of time-major coded reads.
+
+    Args:
+      codes_tm: [L, R] int32 base codes (0-3 valid, 4 invalid), R a multiple
+        of interleave*1024 (use kmer_pallas.prepare_codes).
+      seeds: tuple of '1'/'0' pattern strings, all of equal length k (static).
+      num_hashes_per_seed: canonical + nte64 extensions per seed (static).
+      emit_fwd_rev: additionally emit per-seed forward/reverse hashes.
+
+    Returns:
+      list of U64 [W, R] in reference hash_arr order (seed-major:
+      seeds[0] hashes, then seeds[1] hashes, ...); with emit_fwd_rev each
+      seed's group is followed by its (fwd, rev).
+    """
+    length, reads = codes_tm.shape
+    k = len(seeds[0])
+    if any(len(s) != k for s in seeds):
+        raise ValueError("all seed strings must have equal length k")
+    if length < k:
+        raise ValueError(f"sequence length ({length}) is smaller than k ({k})")
+    w = length - k + 1
+    per_seed = num_hashes_per_seed + (2 if emit_fwd_rev else 0)
+    nout = len(seeds) * per_seed
+    ni = interleave or auto_interleave(length, w, nout, reads)
+    if reads % (ni * TILE):
+        raise ValueError(f"R ({reads}) must be a multiple of {ni * TILE}")
+    ntiles = reads // TILE
+    grid = (ntiles // ni,)
+    all_taps = tuple(tuple(seed_taps(s)) for s in seeds)
+
+    x = codes_tm.reshape(length, ntiles, SUBLANES, LANES)
+    block_in = pl.BlockSpec(
+        (length, ni, SUBLANES, LANES), lambda i: (0, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    block_out = pl.BlockSpec(
+        (w, ni, SUBLANES, LANES), lambda i: (0, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((w, ntiles, SUBLANES, LANES), jnp.uint32)
+        for _ in range(2 * nout)
+    )
+
+    outs = pl.pallas_call(
+        partial(
+            _kernel,
+            k=k,
+            num_hashes=num_hashes_per_seed,
+            length=length,
+            ni=ni,
+            all_taps=all_taps,
+            emit_fwd_rev=emit_fwd_rev,
+        ),
+        grid=grid,
+        in_specs=[block_in],
+        out_specs=tuple(block_out for _ in range(2 * nout)),
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x)
+
+    return [
+        U64(outs[2 * i].reshape(w, reads), outs[2 * i + 1].reshape(w, reads))
+        for i in range(nout)
+    ]
+
+
+def hash_seeds_batch(
+    codes: jnp.ndarray,
+    seeds: Sequence[str],
+    num_hashes_per_seed: int = 1,
+    *,
+    interleave: int | None = None,
+    interpret: bool = False,
+):
+    """Convenience wrapper: [B, L] uint8 batch -> (hashes U64 [B, W, S*H],
+    valid [B, W]). Matches ops.seed_jnp.hash_kmers_seeds hash layout."""
+    b, _ = codes.shape
+    tm = prepare_codes(codes, interleave or 1)
+    res = hash_seeds_tm(
+        tm, tuple(seeds), num_hashes_per_seed,
+        interleave=interleave, interpret=interpret,
+    )
+    hi = jnp.stack([r.hi.T[:b] for r in res], axis=-1)
+    lo = jnp.stack([r.lo.T[:b] for r in res], axis=-1)
+    k = len(seeds[0])
+    valid = window_valid(codes.astype(jnp.int32), k)
+    return U64(hi, lo), valid

@@ -1,0 +1,73 @@
+"""Checkpoint / resume (SURVEY.md §5).
+
+The reference persists nothing itself but documents that hash values are a
+stable external contract via ``NTHASH_FN_NAME`` (reference
+include/nthash/nthash.hpp:13-18), and its iterator state is resumable by
+construction: (pos, fwd, rev) fully determine the future.
+
+Here every carried state is already a pytree (BlindState, BlindSeedState,
+CountMinSketch, U64), so checkpointing is: flatten -> tag with the hash-
+function name (so a reader can detect hash-function drift, exactly the
+NTHASH_FN_NAME use-case) -> one .npz. Loading refuses mismatched tags.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from ..constants import NTHASH_FN_NAME
+
+_FORMAT = "nthash_tpu.ckpt.v1"
+
+
+def save(path, state) -> None:
+    """Persist any pytree of arrays, tagged with the hash-function name."""
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    meta = {
+        "format": _FORMAT,
+        "fn_name": NTHASH_FN_NAME,
+        "treedef": str(treedef),
+        "num_leaves": len(leaves),
+    }
+    arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "wb") as f:
+        np.savez(f, __meta__=np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8), **arrays)
+
+
+def load(path, like):
+    """Restore a pytree saved by :func:`save` into the structure of ``like``.
+
+    Raises ValueError if the checkpoint was produced under a different hash
+    function name (hash values are a persisted contract) or if the tree
+    structure does not match.
+    """
+    with np.load(path) as data:
+        meta = json.loads(bytes(data["__meta__"]).decode())
+        if meta.get("format") != _FORMAT:
+            raise ValueError(f"not an nthash_tpu checkpoint: {path}")
+        if meta["fn_name"] != NTHASH_FN_NAME:
+            raise ValueError(
+                f"checkpoint hash function {meta['fn_name']!r} != "
+                f"{NTHASH_FN_NAME!r}: persisted hashes are incompatible"
+            )
+        leaves = [data[f"leaf_{i}"] for i in range(meta["num_leaves"])]
+    like_leaves, treedef = jax.tree_util.tree_flatten(like)
+    if len(like_leaves) != len(leaves):
+        raise ValueError(
+            f"checkpoint has {len(leaves)} leaves, expected {len(like_leaves)}"
+        )
+    import jax.numpy as jnp
+
+    leaves = [
+        jnp.asarray(saved) if hasattr(ref, "devices") else
+        np.asarray(saved, dtype=getattr(ref, "dtype", None))
+        for saved, ref in zip(leaves, like_leaves)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -1,0 +1,73 @@
+"""Spaced-seed Pallas kernel correctness (interpret mode) vs jnp engine/oracle."""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from nthash_tpu.constants import encode_ascii
+from nthash_tpu.ops.seed_jnp import hash_kmers_seeds
+from nthash_tpu.ops.seed_pallas import (
+    care_runs,
+    hash_seeds_batch,
+    hash_seeds_tm,
+    seed_taps,
+)
+
+
+def test_care_runs():
+    assert care_runs("11100111") == [(0, 3), (5, 8)]
+    assert care_runs("10101") == [(0, 1), (2, 3), (4, 5)]
+    assert care_runs("11111") == [(0, 5)]
+    assert care_runs("0110") == [(1, 3)]
+    with pytest.raises(ValueError):
+        care_runs("000")
+
+
+def test_seed_taps_offsets():
+    taps = seed_taps("110011")
+    assert [(t.off_in, t.off_out) for t in taps] == [(4, 6), (0, 2)]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seeds", [("11100111",), ("10101", "11011")])
+def test_kernel_matches_jnp(rng, seeds):
+    # Interpret mode costs seconds per unrolled step; one tiny config per
+    # seed family. bench.py re-verifies parity on the real TPU at full size.
+    B, L, h = 8, 20, 2
+    codes = rng.integers(0, 5, size=(B, L), dtype=np.uint8)
+    res, valid = hash_seeds_batch(jnp.asarray(codes), seeds, h,
+                                  interleave=1, interpret=True)
+    ref = hash_kmers_seeds(jnp.asarray(codes), tuple(seeds), h)
+    assert np.array_equal(res.to_np(), ref.hashes.to_np())
+    assert np.array_equal(np.asarray(valid), np.asarray(ref.valid))
+
+
+@pytest.mark.slow
+def test_kernel_emit_fwd_rev(rng):
+    from nthash_tpu.ops.kmer_pallas import prepare_codes
+
+    B, L = 8, 16
+    seeds = ("110011",)
+    codes = rng.integers(0, 4, size=(B, L), dtype=np.uint8)
+    tm = prepare_codes(jnp.asarray(codes), 1)
+    outs = hash_seeds_tm(tm, seeds, 1, interleave=1, emit_fwd_rev=True,
+                         interpret=True)
+    assert len(outs) == 3  # canonical, fwd, rev
+    ref = hash_kmers_seeds(jnp.asarray(codes), seeds, 1)
+    assert np.array_equal(outs[1].to_np().T[:B], ref.fwd.to_np()[:, :, 0])
+    assert np.array_equal(outs[2].to_np().T[:B], ref.rev.to_np()[:, :, 0])
+
+
+def test_kernel_golden():
+    # README spaced-seed golden vectors through the kernel path
+    # (SURVEY.md §8: seeds {"10101","11011"}, h=3, k=5).
+    seq = "TGACTGATCGAGTCGTACTAG"
+    codes = np.tile(encode_ascii(seq), (4, 1))
+    res, _ = hash_seeds_batch(jnp.asarray(codes), ("10101", "11011"), 3,
+                              interleave=1, interpret=True)
+    h = res.to_np()
+    assert h[0, 0, 0] == 0x9F8F9FBF890D6351
+    assert h[0, 0, 3] == 0x7539D859409E5B0A
+    assert h[2, 1, 5] == 0xA2B26F83A7BF55DE
+    assert h[3, 2, 0] == 0x9F8F9FBF890D6351  # "10101" sees T#A#T at 0 and 2
