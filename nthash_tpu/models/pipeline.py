@@ -27,6 +27,7 @@ class PipelineConfig:
     num_hashes: int = 4
     sketch_width_log2: int = 20
     n_devices: int | None = None  # default: all visible devices
+    engine: str = "auto"  # "auto": Pallas kernel on TPU, jnp elsewhere
 
 
 class ReadHashingPipeline:
@@ -57,6 +58,7 @@ class ReadHashingPipeline:
             cfg.num_hashes,
             cfg.sketch_width_log2,
             self.mesh,
+            cfg.engine,
         )
         return hashes, valid
 

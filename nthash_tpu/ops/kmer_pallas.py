@@ -39,6 +39,28 @@ LANES = 128
 SUBLANES = 8
 TILE = LANES * SUBLANES  # reads per (8,128) register tile
 
+#: VMEM budget for auto interleave selection: stay well under the 100 MB
+#: scoped limit (multi-buffered input + output blocks + compiler stack).
+_VMEM_BUDGET = 72 * 1024 * 1024
+
+
+def auto_interleave(length: int, w: int, nout: int, reads: int) -> int:
+    """Largest interleave in {8,4,2,1} whose pipelined VMEM blocks fit.
+
+    Per grid step the pipeline holds the input block (length x ni x 1024
+    int32) and each output block (w x ni x 1024 uint32 x 2 limbs x nout).
+    Empirically Mosaic's scoped stack allocation runs ~3x one block set
+    (multi-buffering + spills), hence the factor 3.
+    """
+    for ni in (8, 4, 2, 1):
+        if reads % (ni * TILE):
+            continue
+        per_tile = TILE * 4  # bytes per (8,128) uint32 tile
+        need = 3 * ni * per_tile * (length + 2 * nout * w)
+        if need <= _VMEM_BUDGET:
+            return ni
+    return 1
+
 
 def _kernel(in_ref, *out_refs, k: int, num_hashes: int, length: int,
             ni: int, tabs: PlaneTables, emit_fwd_rev: bool):
@@ -84,7 +106,7 @@ def hash_kmers_tm(
     k: int,
     num_hashes: int = 1,
     *,
-    interleave: int = 4,
+    interleave: int | None = None,
     emit_fwd_rev: bool = False,
     interpret: bool = False,
 ) -> U64:
@@ -105,16 +127,16 @@ def hash_kmers_tm(
       [w, r]. Validity must be derived separately (window_valid).
     """
     length, reads = codes_tm.shape
-    ni = interleave
-    if reads % (ni * TILE):
-        raise ValueError(f"R ({reads}) must be a multiple of {ni * TILE}")
     if length < k:
         raise ValueError(f"sequence length ({length}) is smaller than k ({k})")
     w = length - k + 1
+    nout = num_hashes + (2 if emit_fwd_rev else 0)
+    ni = interleave or auto_interleave(length, w, nout, reads)
+    if reads % (ni * TILE):
+        raise ValueError(f"R ({reads}) must be a multiple of {ni * TILE}")
     ntiles = reads // TILE
     grid = (ntiles // ni,)
     tabs = plane_tables(k)
-    nout = num_hashes + (2 if emit_fwd_rev else 0)
 
     x = codes_tm.reshape(length, ntiles, SUBLANES, LANES)
     block_in = pl.BlockSpec(
@@ -182,7 +204,7 @@ def hash_kmers_batch(
     k: int,
     num_hashes: int = 1,
     *,
-    interleave: int = 4,
+    interleave: int | None = None,
     interpret: bool = False,
 ):
     """Convenience wrapper: [B, L] uint8 batch -> (hashes U64 [B, W, H], valid [B, W]).
@@ -190,7 +212,7 @@ def hash_kmers_batch(
     Matches ops.kmer_jnp.hash_kmers output convention for the stacked hashes.
     """
     b, _ = codes.shape
-    tm = prepare_codes(codes, interleave)
+    tm = prepare_codes(codes, interleave or 1)
     res = hash_kmers_tm(
         tm, k, num_hashes, interleave=interleave, interpret=interpret
     )

@@ -41,7 +41,14 @@ from .. import u64
 from ..constants import COMP_CODE, SROL_PERIOD, srol_seed
 from ..u64 import U64
 from .kmer_jnp import window_valid
-from .kmer_pallas import LANES, SUBLANES, TILE, pad_reads, prepare_codes
+from .kmer_pallas import (
+    LANES,
+    SUBLANES,
+    TILE,
+    auto_interleave,
+    pad_reads,
+    prepare_codes,
+)
 
 
 class BlockTaps(NamedTuple):
@@ -138,29 +145,6 @@ def _kernel(in_ref, *out_refs, k: int, num_hashes: int, length: int,
                     out_refs[2 * o][w] = e.hi
                     out_refs[2 * o + 1][w] = e.lo
                     o += 1
-
-
-#: VMEM budget for auto interleave selection: stay well under the 100 MB
-#: scoped limit (double-buffered input + output blocks + compiler stack).
-_VMEM_BUDGET = 72 * 1024 * 1024
-
-
-def auto_interleave(length: int, w: int, nout: int, reads: int) -> int:
-    """Largest interleave in {8,4,2,1} whose pipelined VMEM blocks fit.
-
-    Per grid step the pipeline holds the input block (length x ni x 1024
-    int32) and each output block (w x ni x 1024 uint32 x 2 limbs x nout).
-    Empirically Mosaic's scoped stack allocation runs ~3x one block set
-    (multi-buffering + spills), hence the factor 3.
-    """
-    for ni in (8, 4, 2, 1):
-        if reads % (ni * TILE):
-            continue
-        per_tile = TILE * 4  # bytes per (8,128) uint32 tile
-        need = 3 * ni * per_tile * (length + 2 * nout * w)
-        if need <= _VMEM_BUDGET:
-            return ni
-    return 1
 
 
 @partial(

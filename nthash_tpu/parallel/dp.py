@@ -26,9 +26,16 @@ def shard_reads(codes: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
     return jax.device_put(codes, NamedSharding(mesh, P(READS_AXIS, None)))
 
 
+def resolve_engine(engine: str = "auto") -> str:
+    """'auto' -> the Pallas kernel on TPU, the portable jnp scan elsewhere."""
+    if engine == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "jnp"
+    return engine
+
+
 @partial(
     jax.jit,
-    static_argnames=("k", "num_hashes", "width_log2", "mesh"),
+    static_argnames=("k", "num_hashes", "width_log2", "mesh", "engine"),
 )
 def hash_and_sketch(
     codes: jnp.ndarray,
@@ -37,24 +44,35 @@ def hash_and_sketch(
     num_hashes: int,
     width_log2: int,
     mesh: Mesh,
+    engine: str = "auto",
 ):
     """One full distributed step: hash the sharded batch, update the sketch,
     all-reduce the sketch across devices.
 
+    ``engine``: "auto" (Pallas kernel on TPU, jnp elsewhere), "jnp", or
+    "pallas".
+
     Returns (hashes U64 [B, W, H] sharded over reads, valid [B, W] sharded,
     merged CountMinSketch replicated).
     """
+    use_pallas = resolve_engine(engine) == "pallas"
 
     def local_step(local_codes, local_rows):
-        res = hash_kmers(local_codes, k, num_hashes)
+        if use_pallas:
+            from ..ops.kmer_pallas import hash_kmers_batch
+
+            hashes, valid = hash_kmers_batch(local_codes, k, num_hashes)
+        else:
+            res = hash_kmers(local_codes, k, num_hashes)
+            hashes, valid = res.hashes, res.valid
         local_sketch = cms.update(
             cms.CountMinSketch(jnp.zeros_like(local_rows)),
-            res.hashes,
-            res.valid,
+            hashes,
+            valid,
             width_log2,
         )
         merged = jax.lax.psum(local_sketch.rows, READS_AXIS)
-        return res.hashes.hi, res.hashes.lo, res.valid, local_rows + merged
+        return hashes.hi, hashes.lo, valid, local_rows + merged
 
     hi, lo, valid, rows = shard_map(
         local_step,

@@ -106,3 +106,53 @@ def test_sketch_query_counts(rng):
     sk2 = cms.update(sk, res.hashes, res.valid, wlog)
     est2 = np.asarray(cms.query(sk2, res.hashes, wlog))
     assert (est2 >= 2).all()
+
+
+def test_sp_seeds_long_sequence(rng):
+    import jax.numpy as jnp
+
+    from nthash_tpu import oracle
+    from nthash_tpu.parallel import sp
+    from nthash_tpu.parallel.mesh import SEQ_AXIS, device_mesh
+
+    mesh = device_mesh(4, SEQ_AXIS)
+    seeds = ("110011", "101101")
+    k = 6
+    L = 32 * 4
+    seq = rng.integers(0, 5, size=(L,), dtype=np.uint8)
+    sharded = sp.shard_sequence(jnp.asarray(seq), mesh)
+    hashes, valid = sp.hash_long_sequence_seeds(sharded, seeds, 2, mesh)
+    got = hashes.to_np()
+    _, _, expect = oracle.hash_all_windows_seeds(seq, seeds, 2)
+    ov = oracle.window_valid(seq, k)
+    w = L - k + 1
+    assert np.array_equal(got[:w], expect)
+    assert np.array_equal(np.asarray(valid)[:w], ov)
+    assert not np.asarray(valid)[w:].any()
+
+
+def test_dp_engine_jnp_explicit(rng, mesh=None):
+    import jax.numpy as jnp
+
+    from nthash_tpu import oracle
+    from nthash_tpu.models import sketch as cms
+    from nthash_tpu.parallel import dp
+    from nthash_tpu.parallel.mesh import device_mesh
+
+    mesh = device_mesh(2)
+    codes = rng.integers(0, 5, size=(8, 30), dtype=np.uint8)
+    sharded = dp.shard_reads(jnp.asarray(codes), mesh)
+    sk = cms.CountMinSketch.zeros(2, 8)
+    hashes, valid, sk = dp.hash_and_sketch(sharded, sk, 7, 2, 8, mesh, "jnp")
+    got = hashes.to_np()
+    for i in range(8):
+        _, _, expect, v = oracle.hash_all_windows(codes[i], 7, 2)
+        assert np.array_equal(got[i], expect)
+
+
+def test_resolve_engine():
+    from nthash_tpu.parallel import dp
+
+    assert dp.resolve_engine("jnp") == "jnp"
+    assert dp.resolve_engine("pallas") == "pallas"
+    assert dp.resolve_engine("auto") in ("jnp", "pallas")
