@@ -13,6 +13,7 @@ from .api import (
     SeedNtHash,
     parse_seeds,
 )
+from . import typedefs
 from .constants import NTHASH_FN_NAME
 from .u64 import U64
 
@@ -26,4 +27,5 @@ __all__ = [
     "parse_seeds",
     "NTHASH_FN_NAME",
     "U64",
+    "typedefs",
 ]

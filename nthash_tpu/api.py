@@ -26,11 +26,8 @@ import numpy as np
 from . import oracle
 from .constants import (
     CODE_N,
-    COMP_CODE,
-    SEEDS,
     encode_ascii,
     extend_hashes,
-    srol_seed,
 )
 
 __all__ = [

@@ -13,7 +13,6 @@ update = one-hot scatter-add of every valid window's hashes; merge = psum.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

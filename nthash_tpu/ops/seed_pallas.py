@@ -46,7 +46,6 @@ from .kmer_pallas import (
     SUBLANES,
     TILE,
     auto_interleave,
-    pad_reads,
     prepare_codes,
 )
 

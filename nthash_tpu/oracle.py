@@ -22,7 +22,6 @@ import numpy as np
 from .constants import (
     CODE_N,
     COMP_CODE,
-    M64,
     SEEDS,
     encode_ascii,
     extend_hashes,
