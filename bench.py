@@ -101,6 +101,27 @@ def main():
 
     seed_hashes = measure_seeds()
 
+    # --- end-to-end counting step (hash -> count-min scatter; the honest
+    # pipeline number — scatter-bound, see docs/design.md §7) -------------
+    from nthash_tpu.models import sketch as cms
+    from nthash_tpu.ops.kmer_pallas import hash_kmers_batch
+
+    Bp = 262_144
+    codes_p = jnp.asarray(codes[:Bp])
+    sk0 = cms.CountMinSketch.zeros(4, 20)
+
+    @jax.jit
+    def count_step(c, s):
+        h, v = hash_kmers_batch(c, k, 4)
+        return cms.update(s, h, v, 20).rows[0].sum()
+
+    np.asarray(count_step(codes_p, sk0))
+    t0 = time.time()
+    rs = [count_step(codes_p, sk0) for _ in range(4)]
+    np.asarray(rs[-1])
+    dt_p = (time.time() - t0) / 4
+    pipeline_kmers = Bp * W / dt_p
+
     print(json.dumps({
         "metric": "kmer_hashes_per_s_per_chip_k32_h1",
         "value": round(h1_hashes, 1),
@@ -114,6 +135,7 @@ def main():
         "h4_vs_baseline": round(h4_hashes / BASELINE_H4, 2),
         "seed_hashes_per_s": round(seed_hashes, 1),
         "seed_vs_baseline": round(seed_hashes / BASELINE_SEED, 2),
+        "count_pipeline_kmers_per_s": round(pipeline_kmers, 1),
         "parity": "bit-exact (oracle-checked, kmer + spaced-seed)",
     }))
 

@@ -382,15 +382,21 @@ class SeedNtHash:
     ``seeds`` may be pattern strings ("10101") or parsed don't-care position
     lists (the legacy btllib interface, reference seed.cpp:473-491).
 
-    Faithfully replicates the reference's N-handling: the init scan never
-    fails on N (it hashes with the zero seed, reference src/seed.cpp:151);
-    only an N *entering* during a roll triggers the skip.
+    Faithfully replicates the reference's N-handling by default: the init
+    scan never fails on N (it hashes with the zero seed, reference
+    src/seed.cpp:151); only an N *entering* during a roll triggers the
+    skip. Pass ``strict_n_init=True`` to fix the quirk: (re-)init then
+    skips to the first window free of invalid bases, matching NtHash's
+    semantics (non-default because hash *positions* are part of the
+    reference's observable behavior).
     """
 
     _CLASS = "SeedNtHash"
 
     def __init__(self, seq, seeds, num_hashes_per_seed: int, k: int,
-                 pos: int = 0, *, engine: str = "auto"):
+                 pos: int = 0, *, engine: str = "auto",
+                 strict_n_init: bool = False):
+        self._strict_n_init = strict_n_init
         self._codes = _as_codes(seq)
         if seeds and not isinstance(seeds[0], str):
             self._seeds = _seeds_from_parsed(seeds, k)
@@ -443,9 +449,14 @@ class SeedNtHash:
 
     def _init(self) -> bool:
         """Reference seed.cpp:493-516 — with the quirk, the scan accepts the
-        first in-range position unconditionally."""
+        first in-range position unconditionally (unless strict_n_init)."""
         self._ensure_table()
-        if self._pos > len(self._codes) - self._k:
+        last = len(self._codes) - self._k
+        if self._strict_n_init:
+            valid = oracle.window_valid(self._codes, self._k)
+            while self._pos <= last and not valid[self._pos]:
+                self._pos += 1
+        if self._pos > last:
             return False
         self._load(self._pos)
         self._initialized = True

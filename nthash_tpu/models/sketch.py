@@ -15,7 +15,6 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 
 from ..u64 import U64
@@ -56,13 +55,16 @@ def update(
     """
     num_rows = sketch.rows.shape[0]
     idx = buckets(hashes, width_log2).reshape(-1, num_rows)  # [N, R]
-    w = valid.reshape(-1, 1).astype(jnp.int32)
-    w = jnp.broadcast_to(w, idx.shape)
-    rows = sketch.rows
-    upd = jax.vmap(
-        lambda row, i, wi: row.at[i].add(wi, mode="drop"),
-    )(rows, idx.T, w.T)
-    return CountMinSketch(upd)
+    w = valid.reshape(-1).astype(jnp.int32)
+    # One plain scatter-add per row: TPU scatter is a serialized loop
+    # (~7 ns/element measured on v5e), and a per-row Python loop lowers
+    # 1.7x faster than a vmapped scatter over the row axis. This stage,
+    # not hashing, bounds end-to-end counting throughput (docs/design.md).
+    rows = [
+        sketch.rows[r].at[idx[:, r]].add(w, mode="drop")
+        for r in range(num_rows)
+    ]
+    return CountMinSketch(jnp.stack(rows))
 
 
 def query(sketch: CountMinSketch, hashes: U64, width_log2: int) -> jnp.ndarray:

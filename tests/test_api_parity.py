@@ -407,3 +407,20 @@ def test_nthash_roll_back_through_n():
     # walked back to the island edge (pos 6), then pinned there
     assert seen[:7] == [11, 10, 9, 8, 7, 6, 6]
     assert all(p == 6 for p in seen[6:])
+
+
+def test_seed_strict_n_init_flag():
+    # quirk fixed behind a flag: strict init skips N windows like NtHash
+    from nthash_tpu import NtHash, SeedNtHash
+
+    seq = "ANCATGCATGCA"
+    strict = SeedNtHash(seq, ["11111"], 1, 5, strict_n_init=True)
+    assert strict.roll()
+    assert strict.get_pos() == 2  # first N-free window, like NtHash
+    ref = NtHash(seq, 1, 5)
+    assert ref.roll()
+    assert strict.get_pos() == ref.get_pos()
+    assert strict.hashes()[0] == ref.hashes()[0]
+    # default keeps the reference quirk
+    quirky = SeedNtHash(seq, ["11111"], 1, 5)
+    assert quirky.roll() and quirky.get_pos() == 0
