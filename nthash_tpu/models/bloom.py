@@ -3,9 +3,22 @@
 ntHash exists to feed Bloom filters (reference include/nthash/nthash.hpp:56-58
 points at btllib; the nte64 multi-hash extension exists precisely to derive
 the h independent index functions a Bloom filter needs). This is the
-TPU-native equivalent: a bit array stored as int32 words, vectorized
-scatter-OR inserts, gather-AND queries, and a cross-device merge that is one
-``psum`` (sum then clamp — OR for {0,1} words; same collective as the sketch).
+TPU-native equivalent, **bit-packed**: 1 bit per bucket, stored as uint32
+words (the round-1 one-int32-per-bit layout spent 32x the memory, which at
+genome scale meant 4 GB of HBM per 2^30-bit filter).
+
+Insertion is a scatter-OR, which TPUs lack; two ingestion paths provide it:
+- "mxu": ops.hist_pallas.mxu_bloom_words — one-hot matmul presence tiles in
+  VMEM, packed to words in-kernel, OR'd into the filter. HBM traffic is
+  1 bit per bucket end to end.
+- "scatter": XLA scatter-max into a transient unpacked presence array, then
+  packed. Portable fallback (and the faster choice above the MXU crossover
+  width, docs/design.md §7).
+
+Both use the same bucket -> (word, bit) bijection (hist_pallas.word_index /
+bit_index), chosen so the kernel packs 32 *sublanes* into a word without
+cross-lane shuffles. Queries are gathers + bit tests and run near memory
+speed. Cross-device merge is a bitwise OR (one all_gather).
 
 False-positive tuning: m = 2**width_log2 bits, optimal h ~= (m/n) ln 2.
 """
@@ -17,23 +30,33 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.hist_pallas import (
+    MXU_MAX_WIDTH_LOG2,
+    bit_index,
+    mxu_bloom_words,
+    word_index,
+)
 from ..u64 import U64
+
+_MIN_WIDTH_LOG2 = 12  # the packed bijection tiles (width/4096, 32, 128)
 
 
 class BloomFilter(NamedTuple):
-    """bits[i]: 0/1 per bucket, one int32 per bit for conflict-free
-    vectorized scatter (a packed-word variant would force read-modify-write
-    races across lanes; HBM is the cheap resource here)."""
+    """words[w]: 32 bucket-presence bits per uint32 word (1 bit/bucket)."""
 
-    bits: jnp.ndarray  # [width] int32, values in {0, 1}
+    words: jnp.ndarray  # [width / 32] uint32
 
     @staticmethod
     def zeros(width_log2: int) -> "BloomFilter":
-        return BloomFilter(jnp.zeros(1 << width_log2, dtype=jnp.int32))
+        if width_log2 < _MIN_WIDTH_LOG2:
+            raise ValueError(
+                f"width_log2 ({width_log2}) must be >= {_MIN_WIDTH_LOG2}"
+            )
+        return BloomFilter(jnp.zeros(1 << (width_log2 - 5), dtype=jnp.uint32))
 
     @property
     def width(self) -> int:
-        return self.bits.shape[0]
+        return self.words.shape[0] * 32
 
 
 def _indices(hashes: U64, width_log2: int) -> jnp.ndarray:
@@ -42,38 +65,74 @@ def _indices(hashes: U64, width_log2: int) -> jnp.ndarray:
     return (hashes.lo & mask).astype(jnp.int32)
 
 
+def pack_presence(presence: jnp.ndarray) -> jnp.ndarray:
+    """[width] {0,1} -> packed uint32 [width/32] in word_index/bit_index
+    order: bucket b = q*4096 + r*128 + j -> bit r of word q*128 + j."""
+    width = presence.shape[0]
+    p = presence.astype(jnp.uint32).reshape(width // 4096, 32, 128)
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, :, None]
+    return jnp.sum(p << shifts, axis=1).reshape(-1)
+
+
 def insert(bf: BloomFilter, hashes: U64, valid: jnp.ndarray,
-           width_log2: int) -> BloomFilter:
+           width_log2: int, *, ingestion: str = "auto") -> BloomFilter:
     """Set the bit of every valid window's every hash.
 
     hashes: U64 [..., H] (H = hash functions per k-mer); valid: bool of
-    hashes.shape[:-1].
+    hashes.shape[:-1]. ingestion: "auto" | "mxu" | "scatter".
     """
     idx = _indices(hashes, width_log2).reshape(-1)
     w = jnp.broadcast_to(
         valid.reshape(-1, 1), (valid.size, hashes.hi.shape[-1])
     ).reshape(-1)
-    bits = bf.bits.at[idx].max(w.astype(jnp.int32), mode="drop")
-    return BloomFilter(bits)
+    if ingestion == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        ingestion = (
+            "mxu" if on_tpu and width_log2 <= MXU_MAX_WIDTH_LOG2 else "scatter"
+        )
+    if ingestion == "mxu":
+        new = mxu_bloom_words(
+            idx, w, width_log2, interpret=jax.default_backend() != "tpu"
+        )
+    else:
+        presence = (
+            jnp.zeros(1 << width_log2, jnp.int32)
+            .at[idx]
+            .max(w.astype(jnp.int32), mode="drop")
+        )
+        new = pack_presence(presence)
+    return BloomFilter(bf.words | new)
 
 
 def contains(bf: BloomFilter, hashes: U64, width_log2: int) -> jnp.ndarray:
     """Membership: all H bits set. Returns bool of hashes.shape[:-1]."""
-    idx = _indices(hashes, width_log2)
-    got = jnp.take(bf.bits, idx, axis=0)
-    return jnp.all(got > 0, axis=-1)
+    b = _indices(hashes, width_log2)
+    got = jnp.take(bf.words, word_index(b), axis=0)
+    bit = (got >> bit_index(b).astype(jnp.uint32)) & 1
+    return jnp.all(bit > 0, axis=-1)
 
 
 def merge(a: BloomFilter, b: BloomFilter) -> BloomFilter:
     """Union (bitwise OR)."""
-    return BloomFilter(jnp.minimum(a.bits + b.bits, 1))
+    return BloomFilter(a.words | b.words)
 
 
-def psum_merge(bits: jnp.ndarray, axis_name: str) -> jnp.ndarray:
-    """Cross-device union inside shard_map: one psum then clamp to {0,1}."""
-    return jnp.minimum(jax.lax.psum(bits, axis_name), 1)
+def union_across(words: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """Cross-device union inside shard_map: one all_gather, then OR-fold
+    the device axis (OR is not linear, so no psum trick applies to packed
+    words; the gather moves width/32 * n_dev words — negligible)."""
+    gathered = jax.lax.all_gather(words, axis_name)  # [n_dev, width/32]
+    return jax.lax.reduce(
+        gathered, jnp.uint32(0), jax.lax.bitwise_or, dimensions=(0,)
+    )
+
+
+def count_set_bits(bf: BloomFilter) -> jnp.ndarray:
+    """Total set bits (popcount over words)."""
+    return jnp.sum(jax.lax.population_count(bf.words).astype(jnp.int32))
 
 
 def fill_ratio(bf: BloomFilter) -> jnp.ndarray:
     """Fraction of set bits (false-positive rate ~= ratio**H)."""
-    return jnp.mean(bf.bits.astype(jnp.float32))
+    pc = jax.lax.population_count(bf.words).astype(jnp.float32)
+    return jnp.sum(pc) / bf.width

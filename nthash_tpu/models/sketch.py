@@ -3,20 +3,32 @@
 The reference's ecosystem consumes ntHash values in Bloom filters / count
 sketches (reference include/nthash/nthash.hpp:56-58 points at btllib). This
 module provides the TPU-native equivalent: a count-min sketch whose rows are
-indexed by the nte64 extended hashes, updated with a vectorized scatter-add
-and merged across devices with a single psum (the all-reduce the reference
-lacks, SURVEY.md §2.7).
+indexed by the nte64 extended hashes and merged across devices with a single
+psum (the all-reduce the reference lacks, SURVEY.md §2.7).
+
+Two ingestion paths (``update(..., ingestion=...)``):
+- "mxu": ops.hist_pallas.mxu_histogram_rows — one-hot matmuls on the MXU,
+  ~0.16 ns/update at width <= 2^14 vs ~7 ns for scatter. "auto" picks it on
+  TPU up to the measured crossover width (docs/design.md §7).
+- "scatter": XLA scatter-add per row; portable, and the right choice above
+  the crossover.
 
 The sketch is the "trainable state" of the flagship pipeline: per batch,
-update = one-hot scatter-add of every valid window's hashes; merge = psum.
+update = histogram of every valid window's hashes; merge = psum.
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
+from ..ops.hist_pallas import (
+    MXU_MAX_WIDTH_LOG2,
+    MXU_MIN_WIDTH_LOG2,
+    mxu_histogram_rows,
+)
 from ..u64 import U64
 
 
@@ -42,24 +54,46 @@ def buckets(hashes: U64, width_log2: int) -> jnp.ndarray:
     return (hashes.lo & mask).astype(jnp.int32)
 
 
+def resolve_ingestion(ingestion: str, width_log2: int) -> str:
+    """'auto' -> the MXU histogram kernel on TPU below the scatter
+    crossover width (docs/design.md §7), scatter elsewhere."""
+    if ingestion == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        in_range = MXU_MIN_WIDTH_LOG2 <= width_log2 <= MXU_MAX_WIDTH_LOG2
+        return "mxu" if on_tpu and in_range else "scatter"
+    if ingestion not in ("mxu", "scatter"):
+        raise ValueError(f"unknown ingestion {ingestion!r}")
+    return ingestion
+
+
 def update(
     sketch: CountMinSketch,
     hashes: U64,
     valid: jnp.ndarray,
     width_log2: int,
+    *,
+    ingestion: str = "auto",
 ) -> CountMinSketch:
-    """Scatter-add every valid window's hashes into the sketch.
+    """Count every valid window's hashes into the sketch.
 
     hashes: U64 with arrays [..., num_rows] (last axis = hash index),
     valid: bool of hashes.shape[:-1].
+    ingestion: "auto" | "mxu" (one-hot MXU matmuls) | "scatter".
     """
     num_rows = sketch.rows.shape[0]
     idx = buckets(hashes, width_log2).reshape(-1, num_rows)  # [N, R]
     w = valid.reshape(-1).astype(jnp.int32)
+    if resolve_ingestion(ingestion, width_log2) == "mxu":
+        counts = mxu_histogram_rows(
+            idx.T, w, width_log2, weight_bits=1,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return CountMinSketch(sketch.rows + counts)
     # One plain scatter-add per row: TPU scatter is a serialized loop
     # (~7 ns/element measured on v5e), and a per-row Python loop lowers
-    # 1.7x faster than a vmapped scatter over the row axis. This stage,
-    # not hashing, bounds end-to-end counting throughput (docs/design.md).
+    # 1.7x faster than a vmapped scatter over the row axis. Above the MXU
+    # crossover width this stage, not hashing, bounds end-to-end counting
+    # throughput (docs/design.md §7).
     rows = [
         sketch.rows[r].at[idx[:, r]].add(w, mode="drop")
         for r in range(num_rows)

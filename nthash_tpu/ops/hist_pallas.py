@@ -1,27 +1,44 @@
-"""Pallas TPU kernel: histogram / count-sketch ingestion on the MXU.
+"""Pallas TPU kernels: histogram / count-sketch / Bloom ingestion on the MXU.
 
-XLA's TPU scatter-add lowers to a serialized per-element loop (~2 ns per
-update measured on v5e — docs/design.md §7), which makes *counting* the
-bottleneck of the hash -> count-min pipeline even though hashing itself runs
-at >10^10 windows/s. This kernel replaces the scatter with matrix math:
+XLA's TPU scatter-add lowers to a serialized per-element loop (~7 ns per
+update measured on v5e at width 2^20 — docs/design.md §7), which makes
+*counting* the bottleneck of the hash -> count-min pipeline even though
+hashing itself runs at >10^10 windows/s. These kernels replace the scatter
+with matrix math:
 
   decompose bucket index   b = hi * 128 + lo
   counts as a matrix       C[hi, lo] = sum_n  w_n * [hi_n == hi] * [lo_n == lo]
                                      = A^T @ B
-  with one-hot operands    A[n, hi] = (idx_n >> 7 == hi)      (bf16)
-                           B[n, lo] = w_n * (idx_n & 127 == lo) (bf16)
+  with one-hot operands    A[n, hi] = (idx_n >> 7 == hi)
+                           B[n, lo] = w_n * (idx_n & 127 == lo)
 
 A and B are generated **inside the kernel** (VPU iota-compare in VMEM — they
-never touch HBM) and contracted on the MXU with f32 accumulation. Exactness:
-one-hot entries are exact in bf16, per-chunk partial sums are <= CHUNK < 2^24
-so the f32 matmul is exact, and cross-chunk accumulation is int32.
+never touch HBM) and contracted on the MXU. Exactness for arbitrary int32
+weights comes from *digit planes*: the weight is split into 8-bit digits
+(one matmul per plane; `weight_bits` controls the plane count), each digit
+is exact in bf16, per-chunk partial sums stay below 2^24 so the f32 matmul
+is exact, and planes recombine with int32 shifts whose wraparound matches
+uint32 modular arithmetic. Cross-chunk accumulation is int32.
 
-Cost per update is width/128 MAC columns -> width * 1e-5 ns at v5e bf16 peak,
-vs ~2 ns for scatter: the MXU path wins below width ~2^17 and is ~20x faster
-at typical count-min widths (2^12..2^14). `auto` ingestion in models/sketch
-picks per-width. The reference has no counting at all (hashing feeds btllib
-Bloom filters, reference include/nthash/nthash.hpp:56-58); this is part of
-the scale-out consumer layer SURVEY.md §2.7 mandates.
+Out-of-range indices (idx < 0 or idx >= width) match no one-hot column and
+are dropped for free — callers encode "invalid" as idx = width instead of
+carrying a separate mask.
+
+Cost per update is `width` MACs (one one-hot column dot); on the MXU the
+128x128 systolic array pads hi < 128, so every width <= 2^14 costs the same
+as 2^14 and the kernel beats the ~7 ns scatter up to width ~2^18 (the
+measured crossover used by models/sketch's "auto" ingestion).
+
+Three entry points:
+- :func:`mxu_histogram`       — flat weighted histogram, int32 [width]
+- :func:`mxu_histogram_rows`  — R independent histograms in one launch
+                                (count-min sketch rows), int32 [R, width]
+- :func:`mxu_bloom_words`     — presence only, bit-packed uint32 words
+                                (Bloom filter ingestion at 1 bit/bucket)
+
+The reference has no counting at all (hashing feeds btllib Bloom filters,
+reference include/nthash/nthash.hpp:56-58); this is part of the scale-out
+consumer layer SURVEY.md §2.7 mandates.
 """
 
 from __future__ import annotations
@@ -33,72 +50,238 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LO = 128  # lane-dim digit: bucket % 128
-CHUNK = 2048  # updates ingested per grid step (contraction length)
+LO = 128        # lane-dim digit: bucket % 128
+CHUNK = 2048    # updates ingested per grid step (contraction length)
+HI_TILE = 2048  # max sublane-dim tile of the count matrix per grid step
+PACK = 32       # bits per packed Bloom word
+
+#: Widths where the MXU one-hot matmul beats XLA's serialized scatter
+#: (~7 ns/update): per-update cost is max(width, 2^14) MACs ~= 0.16 ns at
+#: width 2^14, crossing ~7 ns around width 2^18 (docs/design.md §7).
+MXU_MIN_WIDTH_LOG2 = 10
+MXU_MAX_WIDTH_LOG2 = 18
 
 
-def _kernel(idx_ref, w_ref, out_ref, *, hi: int):
-    @pl.when(pl.program_id(0) == 0)
+def _planes(weight_bits: int) -> int:
+    """8-bit digit planes needed for exact ``weight_bits``-bit weights."""
+    if not 1 <= weight_bits <= 32:
+        raise ValueError(f"weight_bits ({weight_bits}) must be in [1, 32]")
+    return (weight_bits + 7) // 8
+
+
+def _onehot_counts(idx, w, hi_tile: int, hi_base, planes: int):
+    """Exact int32 count matrix [hi_tile, LO] for one chunk of updates.
+
+    idx, w: [CHUNK, 1] int32. One bf16 matmul per 8-bit weight digit plane;
+    digits (0..255) are exact in bf16, per-plane chunk sums < 256*CHUNK <
+    2^24 are exact in f32, and the int32 shift-recombination wraps exactly
+    like uint32 modular arithmetic (so full-range int32 weights are exact).
+    """
+    hi_iota = hi_base + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, hi_tile), 1)
+    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, LO), 1)
+    a = ((idx >> 7) == hi_iota).astype(jnp.bfloat16)
+    lo_match = (idx & 127) == lo_iota
+    wu = w.astype(jnp.uint32)
+    acc = None
+    for p in range(planes):
+        digit = ((wu >> (8 * p)) & jnp.uint32(0xFF)).astype(jnp.int32)
+        b = jnp.where(lo_match, digit, 0).astype(jnp.bfloat16)
+        c = jax.lax.dot_general(
+            a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(jnp.int32)
+        c = c << (8 * p)
+        acc = c if acc is None else acc + c
+    return acc
+
+
+def _hist_kernel(idx_ref, w_ref, out_ref, *, hi_tile: int, planes: int):
+    """grid = (rows, hi_tiles, chunks); out block [1, hi_tile, LO] stays
+    resident in VMEM across the chunk dimension (innermost grid dim)."""
+    @pl.when(pl.program_id(2) == 0)
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    idx = idx_ref[0]  # [CHUNK, 1]
-    w = w_ref[0]
-    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, hi), 1)
-    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, LO), 1)
-    a = ((idx >> 7) == hi_iota).astype(jnp.bfloat16)
-    b = jnp.where((idx & 127) == lo_iota, w, 0).astype(jnp.bfloat16)
-    c = jax.lax.dot_general(
-        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    hi_base = pl.program_id(1) * hi_tile
+    out_ref[0] += _onehot_counts(
+        idx_ref[0, 0], w_ref[0, 0], hi_tile, hi_base, planes
     )
-    out_ref[:] += c.astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("width_log2", "interpret"))
-def mxu_histogram(
-    idx: jnp.ndarray,
-    weight: jnp.ndarray,
-    width_log2: int,
-    *,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Weighted histogram of ``idx`` (any shape, int32 in [0, 2**width_log2))
-    with int32 ``weight`` of the same shape. Returns int32 [2**width_log2].
+def _bloom_kernel(idx_ref, w_ref, out_ref, acc_ref, *, hi_tile: int,
+                  nchunks: int):
+    """Presence accumulation in VMEM scratch; last chunk packs 32 sublanes
+    per lane into one uint32 word (bit b of word [q, j] = bucket presence at
+    hi = 32q + b, lo = j — see word_index/bit_index for the bijection)."""
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    Requires width_log2 >= 10 (the [width/128, 128] count matrix must tile
-    (8, 128)); models/sketch falls back to scatter below that / above the
-    measured crossover.
-    """
-    if not 10 <= width_log2 <= 22:
-        raise ValueError(f"width_log2 ({width_log2}) must be in [10, 22]")
-    hi = (1 << width_log2) // LO
-    idx = idx.reshape(-1).astype(jnp.int32)
-    weight = weight.reshape(-1).astype(jnp.int32)
-    n = idx.shape[0]
+    hi_base = pl.program_id(0) * hi_tile
+    acc_ref[:] += _onehot_counts(idx_ref[0, 0], w_ref[0, 0], hi_tile, hi_base, 1)
+
+    @pl.when(pl.program_id(1) == nchunks - 1)
+    def _pack():
+        present = (acc_ref[:] > 0).astype(jnp.uint32)
+        shift = jax.lax.broadcasted_iota(
+            jnp.uint32, (hi_tile // PACK, PACK, LO), 1
+        )
+        vals = present.reshape(hi_tile // PACK, PACK, LO) << shift
+        out_ref[0] = jnp.sum(vals, axis=1)
+
+
+def _prep(idx: jnp.ndarray, weight: jnp.ndarray | None, width_log2: int):
+    """Flatten rows, clamp-pad, and pick grid/tiling. Returns
+    (idx [R, G, CHUNK, 1], w [R, G, CHUNK, 1], rows, g, hi, hi_tile)."""
+    rows = idx.shape[0]
+    idx = idx.reshape(rows, -1).astype(jnp.int32)
+    n = idx.shape[1]
+    if weight is None:
+        weight = jnp.ones_like(idx)
+    else:
+        weight = jnp.broadcast_to(
+            weight.astype(jnp.int32).reshape(-1, n), (rows, n)
+        )
     pad = (-n) % CHUNK
     if pad:
-        idx = jnp.pad(idx, (0, pad))
-        weight = jnp.pad(weight, (0, pad))
+        # padded entries: idx = -1 matches no one-hot column => dropped
+        idx = jnp.pad(idx, ((0, 0), (0, pad)), constant_values=-1)
+        weight = jnp.pad(weight, ((0, 0), (0, pad)))
     g = (n + pad) // CHUNK
+    hi = (1 << width_log2) // LO
+    hi_tile = min(hi, HI_TILE)
+    return (
+        idx.reshape(rows, g, CHUNK, 1),
+        weight.reshape(rows, g, CHUNK, 1),
+        rows, g, hi, hi_tile,
+    )
+
+
+@partial(
+    jax.jit, static_argnames=("width_log2", "weight_bits", "interpret")
+)
+def mxu_histogram_rows(
+    idx: jnp.ndarray,
+    weight: jnp.ndarray | None,
+    width_log2: int,
+    *,
+    weight_bits: int = 32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """R independent weighted histograms in one kernel launch.
+
+    Args:
+      idx: [R, ...] int32 bucket indices; entries outside [0, 2**width_log2)
+        are dropped (encode invalid updates as e.g. ``width``).
+      weight: int32, either broadcastable [...] (shared across rows) or
+        [R, ...]; ``None`` counts each update once.
+      width_log2: log2 of the histogram width, in [10, 26].
+      weight_bits: how many low bits of the weights are significant; one
+        bf16 matmul per 8 bits. 32 (default) is exact for any int32 weight
+        (two's-complement wraparound included); pass 1 for 0/1 masks.
+
+    Returns:
+      int32 [R, 2**width_log2], bit-exact vs np.bincount per row.
+    """
+    if not 10 <= width_log2 <= 26:
+        raise ValueError(f"width_log2 ({width_log2}) must be in [10, 26]")
+    planes = _planes(weight_bits)
+    idxb, wb, rows, g, hi, hi_tile = _prep(idx, weight, width_log2)
 
     counts = pl.pallas_call(
-        partial(_kernel, hi=hi),
-        grid=(g,),
+        partial(_hist_kernel, hi_tile=hi_tile, planes=planes),
+        grid=(rows, hi // hi_tile, g),
         in_specs=[
-            pl.BlockSpec(
-                (1, CHUNK, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, CHUNK, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((1, 1, CHUNK, 1), lambda r, h, i: (r, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, CHUNK, 1), lambda r, h, i: (r, i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (hi, LO), lambda i: (0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((hi, LO), jnp.int32),
+        out_specs=pl.BlockSpec((1, hi_tile, LO), lambda r, h, i: (r, h, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, hi, LO), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(idx.reshape(g, CHUNK, 1), weight.reshape(g, CHUNK, 1))
-    return counts.reshape(-1)
+    )(idxb, wb)
+    return counts.reshape(rows, -1)
+
+
+def mxu_histogram(
+    idx: jnp.ndarray,
+    weight: jnp.ndarray | None,
+    width_log2: int,
+    *,
+    weight_bits: int = 32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flat weighted histogram of ``idx`` (any shape) -> int32 [width].
+
+    See :func:`mxu_histogram_rows`; this is the single-row convenience.
+    """
+    return mxu_histogram_rows(
+        idx.reshape(1, -1),
+        None if weight is None else weight.reshape(1, -1),
+        width_log2,
+        weight_bits=weight_bits,
+        interpret=interpret,
+    )[0]
+
+
+def word_index(bucket):
+    """Packed-word bijection used by mxu_bloom_words: bucket b lives in word
+    ``((b >> 12) << 7) | (b & 127)`` at bit ``(b >> 7) & 31`` (32 sublanes of
+    the count matrix pack into one word; lanes stay the minor dim)."""
+    return ((bucket >> 12) << 7) | (bucket & 127)
+
+
+def bit_index(bucket):
+    return (bucket >> 7) & 31
+
+
+@partial(jax.jit, static_argnames=("width_log2", "interpret"))
+def mxu_bloom_words(
+    idx: jnp.ndarray,
+    weight: jnp.ndarray | None,
+    width_log2: int,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Bit-packed presence of ``idx`` -> uint32 [2**width_log2 / 32].
+
+    The scatter-OR a Bloom filter needs, as one-hot matmuls plus an
+    in-kernel 32-sublane pack: HBM only ever sees 1 bit per bucket (the
+    full-width count matrix lives in VMEM tiles). Bit layout is the
+    :func:`word_index`/:func:`bit_index` bijection. idx outside
+    [0, 2**width_log2) (e.g. invalid windows encoded as ``width``) and
+    entries with weight 0 are dropped.
+    """
+    if not 12 <= width_log2 <= 26:
+        raise ValueError(f"width_log2 ({width_log2}) must be in [12, 26]")
+    if weight is not None:
+        # presence needs only w != 0; fold into idx to keep one plane
+        idx = jnp.where(weight.astype(jnp.int32) != 0, idx, -1)
+    idxb, wb, rows, g, hi, hi_tile = _prep(idx.reshape(1, -1), None, width_log2)
+
+    words = pl.pallas_call(
+        partial(_bloom_kernel, hi_tile=hi_tile, nchunks=g),
+        grid=(hi // hi_tile, g),
+        in_specs=[
+            pl.BlockSpec((1, 1, CHUNK, 1), lambda h, i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, CHUNK, 1), lambda h, i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hi_tile // PACK, LO),
+                               lambda h, i: (h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (hi // hi_tile, hi_tile // PACK, LO), jnp.uint32
+        ),
+        scratch_shapes=[pltpu.VMEM((hi_tile, LO), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(idxb, wb)
+    return words.reshape(-1)

@@ -1,4 +1,4 @@
-"""Bloom filter model: insert/query/merge + distributed union."""
+"""Bloom filter model: packed-word insert/query/merge + distributed union."""
 
 import numpy as np
 import pytest
@@ -15,11 +15,28 @@ def _hash(codes):
     return hash_kmers(jnp.asarray(codes), K, H)
 
 
+def test_packed_memory_layout():
+    bf = bloom.BloomFilter.zeros(WL)
+    # 1 bit per bucket: width/32 uint32 words (round 1 spent 32x this)
+    assert bf.words.dtype == jnp.uint32
+    assert bf.words.size == (1 << WL) // 32
+    assert bf.width == 1 << WL
+
+
 def test_insert_then_contains(rng):
     codes = rng.integers(0, 4, size=(8, 60), dtype=np.uint8)
     res = _hash(codes)
     bf = bloom.insert(bloom.BloomFilter.zeros(WL), res.hashes, res.valid, WL)
     assert bool(jnp.all(bloom.contains(bf, res.hashes, WL)))
+
+
+def test_mxu_and_scatter_ingestion_agree(rng):
+    codes = rng.integers(0, 5, size=(4, 40), dtype=np.uint8)  # incl. Ns
+    res = _hash(codes)
+    z = bloom.BloomFilter.zeros(12)
+    a = bloom.insert(z, res.hashes, res.valid, 12, ingestion="scatter")
+    b = bloom.insert(z, res.hashes, res.valid, 12, ingestion="mxu")
+    assert np.array_equal(np.asarray(a.words), np.asarray(b.words))
 
 
 def test_absent_kmers_mostly_miss(rng):
@@ -36,7 +53,7 @@ def test_invalid_windows_not_inserted(rng):
     codes = np.full((1, 30), 4, dtype=np.uint8)  # all-N read
     res = _hash(codes)
     bf = bloom.insert(bloom.BloomFilter.zeros(WL), res.hashes, res.valid, WL)
-    assert int(jnp.sum(bf.bits)) == 0
+    assert int(bloom.count_set_bits(bf)) == 0
 
 
 def test_merge_is_union(rng):
@@ -48,7 +65,9 @@ def test_merge_is_union(rng):
     merged = bloom.merge(bfa, bfb)
     assert bool(jnp.all(bloom.contains(merged, ra.hashes, WL)))
     assert bool(jnp.all(bloom.contains(merged, rb.hashes, WL)))
-    assert merged.bits.max() <= 1
+    assert int(bloom.count_set_bits(merged)) <= int(
+        bloom.count_set_bits(bfa)
+    ) + int(bloom.count_set_bits(bfb))
 
 
 def test_distributed_union(rng):
@@ -67,18 +86,20 @@ def test_distributed_union(rng):
     def local(local_codes):
         res = hash_kmers(local_codes, K, H)
         bf = bloom.insert(bloom.BloomFilter.zeros(WL), res.hashes, res.valid, WL)
-        return bloom.psum_merge(bf.bits, READS_AXIS)
+        return bloom.union_across(bf.words, READS_AXIS)
 
-    bits = shard_map(
+    words = shard_map(
         local, mesh=mesh, in_specs=(P(READS_AXIS, None),), out_specs=P(),
         check_vma=False,
     )(sharded)
-    merged = bloom.BloomFilter(bits)
+    merged = bloom.BloomFilter(words)
     res = _hash(codes)
     assert bool(jnp.all(bloom.contains(merged, res.hashes, WL)))
-    assert int(bits.max()) <= 1
 
 
-def test_fill_ratio(rng):
-    bf = bloom.BloomFilter(jnp.array([1, 0, 1, 0], dtype=jnp.int32))
-    assert float(bloom.fill_ratio(bf)) == 0.5
+def test_fill_ratio():
+    words = np.zeros((1 << WL) // 32, dtype=np.uint32)
+    words[0] = 0b111  # 3 set bits
+    bf = bloom.BloomFilter(jnp.asarray(words))
+    assert float(bloom.fill_ratio(bf)) == pytest.approx(3 / (1 << WL))
+    assert int(bloom.count_set_bits(bf)) == 3
