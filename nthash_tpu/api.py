@@ -28,6 +28,8 @@ from .constants import (
     CODE_N,
     encode_ascii,
     extend_hashes,
+    srol1,
+    sror1,
 )
 
 __all__ = [
@@ -586,6 +588,13 @@ class BlindSeedNtHash:
             oracle.seed_positions_of(b, m)
             for b, m in zip(*oracle.get_blocks(self._seeds))
         ]
+        # Two-tap rolling tables, one per maximal care run per seed: rolling
+        # is O(#care-runs) per fed base like the reference's O(#blocks)
+        # NTMSM64 roll (reference src/seed.cpp:701-718, 177-207), NOT an
+        # O(k*S) window rehash. Same math as ops/blind_seed_scan._roll.
+        from .ops.seed_pallas import seed_taps
+
+        self._taps = [seed_taps(p) for p in self._seeds]
         s = len(self._seeds)
         self._fwd = np.zeros(s, dtype=np.uint64)
         self._rev = np.zeros(s, dtype=np.uint64)
@@ -608,17 +617,56 @@ class BlindSeedNtHash:
     def _code(ch) -> int:
         return int(_as_codes(ch)[0]) if isinstance(ch, str) else int(ch)
 
+    def _extend(self) -> None:
+        m2 = self._num_hashes_per_seed
+        for si in range(len(self._seeds)):
+            self._hash_arr[si * m2 : (si + 1) * m2] = extend_hashes(
+                int(self._fwd[si]), int(self._rev[si]), self._k, m2
+            )
+
     def roll(self, char_in) -> None:
-        self._window.pop(0)
-        self._window.append(self._code(char_in))
+        """O(#care-runs) two-tap roll (reference NTMSM64 roll,
+        src/seed.cpp:701-718): per care run [s, e), XOR in the entering
+        edge and XOR out the leaving edge — per-roll work is independent
+        of k (see ops/seed_pallas.py for the derivation)."""
+        c_in = self._code(char_in)
+        k, w = self._k, self._window
+        for si, taps in enumerate(self._taps):
+            f = srol1(int(self._fwd[si]))
+            r = sror1(int(self._rev[si]))
+            for blk in taps:
+                s, e = k - blk.off_out, k - blk.off_in
+                c_enter = c_in if e == k else w[e]
+                c_leave = w[s]
+                f ^= blk.fwd_in[c_enter] ^ blk.fwd_out[c_leave]
+                r ^= blk.rev_in[c_enter] ^ blk.rev_out[c_leave]
+            self._fwd[si] = f
+            self._rev[si] = r
+        w.pop(0)
+        w.append(c_in)
         self._pos += 1
-        self._rehash()
+        self._extend()
 
     def roll_back(self, char_in) -> None:
-        self._window.pop()
-        self._window.insert(0, self._code(char_in))
+        """Exact algebraic inverse of :meth:`roll` (reference
+        src/seed.cpp:720-737), also O(#care-runs) per fed base."""
+        c_in = self._code(char_in)
+        k, w = self._k, self._window
+        for si, taps in enumerate(self._taps):
+            f = int(self._fwd[si])
+            r = int(self._rev[si])
+            for blk in taps:
+                s, e = k - blk.off_out, k - blk.off_in
+                c_enter = w[e - 1]
+                c_leave = c_in if s == 0 else w[s - 1]
+                f ^= blk.fwd_in[c_enter] ^ blk.fwd_out[c_leave]
+                r ^= blk.rev_in[c_enter] ^ blk.rev_out[c_leave]
+            self._fwd[si] = sror1(f)
+            self._rev[si] = srol1(r)
+        w.pop()
+        w.insert(0, c_in)
         self._pos -= 1
-        self._rehash()
+        self._extend()
 
     def hashes(self) -> np.ndarray:
         return self._hash_arr

@@ -104,6 +104,21 @@ def insert(bf: BloomFilter, hashes: U64, valid: jnp.ndarray,
     return BloomFilter(bf.words | new)
 
 
+def insert_from_buckets(
+    bf: BloomFilter, buckets, *, interpret: bool = False
+) -> BloomFilter:
+    """Ingest pre-bucketed indices from the fused hash kernels.
+
+    buckets: list of int32 arrays from ``hash_*_tm(..., emit_buckets=
+    width_log2)`` with width matching the filter. Invalid windows carry
+    the out-of-range sentinel and are dropped by the kernel.
+    """
+    width_log2 = (bf.words.shape[0] * 32).bit_length() - 1
+    idx = jnp.concatenate([b.reshape(-1) for b in buckets])
+    new = mxu_bloom_words(idx, None, width_log2, interpret=interpret)
+    return BloomFilter(bf.words | new)
+
+
 def contains(bf: BloomFilter, hashes: U64, width_log2: int) -> jnp.ndarray:
     """Membership: all H bits set. Returns bool of hashes.shape[:-1]."""
     b = _indices(hashes, width_log2)

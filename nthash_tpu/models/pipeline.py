@@ -30,6 +30,24 @@ class PipelineConfig:
     engine: str = "auto"  # "auto": Pallas kernel on TPU, jnp elsewhere
 
 
+def fused_count_step(codes_tm, sketch, k: int, *, interpret: bool = False):
+    """The fast hash->count step: Pallas bucket emission feeding the MXU
+    histogram, no 64-bit hash ever written to HBM.
+
+    codes_tm: [L, R] int32 time-major codes (kmer_pallas.prepare_codes);
+    one sketch row per nte64 hash. Returns the updated CountMinSketch.
+    Jit this (it is pure); bench.py times it as the flagship e2e metric.
+    """
+    from ..ops.kmer_pallas import hash_kmers_tm
+
+    num_rows, width = sketch.rows.shape
+    width_log2 = width.bit_length() - 1
+    buckets = hash_kmers_tm(
+        codes_tm, k, num_rows, emit_buckets=width_log2, interpret=interpret
+    )
+    return cms.update_from_buckets(sketch, buckets, interpret=interpret)
+
+
 class ReadHashingPipeline:
     """Stateful convenience wrapper around the distributed hash+sketch step.
 

@@ -8,8 +8,8 @@ psum (the all-reduce the reference lacks, SURVEY.md §2.7).
 
 Two ingestion paths (``update(..., ingestion=...)``):
 - "mxu": ops.hist_pallas.mxu_histogram_rows — one-hot matmuls on the MXU,
-  ~0.16 ns/update at width <= 2^14 vs ~7 ns for scatter. "auto" picks it on
-  TPU up to the measured crossover width (docs/design.md §7).
+  measured 0.21 ns/update at width 2^14 vs ~7 ns for scatter. "auto" picks
+  it on TPU up to the measured crossover width (docs/design.md §7).
 - "scatter": XLA scatter-add per row; portable, and the right choice above
   the crossover.
 
@@ -99,6 +99,35 @@ def update(
         for r in range(num_rows)
     ]
     return CountMinSketch(jnp.stack(rows))
+
+
+def update_from_buckets(
+    sketch: CountMinSketch,
+    buckets,
+    *,
+    interpret: bool = False,
+) -> CountMinSketch:
+    """Ingest pre-bucketed indices from the fused hash kernels.
+
+    buckets: list of ``num_rows`` int32 arrays (any matching shape), as
+    produced by ``hash_kmers_tm(..., emit_buckets=width_log2)`` /
+    ``hash_seeds_tm(..., emit_buckets=width_log2)`` — row r of the sketch
+    counts array r. Validity is already fused: invalid windows carry the
+    out-of-range sentinel ``width`` and are dropped by the MXU kernel.
+    This is the fast path of the counting pipeline (no 64-bit hash ever
+    reaches HBM; ~8x the round-1 scatter pipeline end to end on v5e).
+    """
+    num_rows, width = sketch.rows.shape
+    if len(buckets) != num_rows:
+        raise ValueError(
+            f"got {len(buckets)} bucket arrays for {num_rows} sketch rows"
+        )
+    width_log2 = width.bit_length() - 1
+    idx = jnp.stack([b.reshape(-1) for b in buckets])
+    counts = mxu_histogram_rows(
+        idx, None, width_log2, weight_bits=1, interpret=interpret
+    )
+    return CountMinSketch(sketch.rows + counts)
 
 
 def query(sketch: CountMinSketch, hashes: U64, width_log2: int) -> jnp.ndarray:

@@ -8,9 +8,17 @@ with matrix math:
 
   decompose bucket index   b = hi * 128 + lo
   counts as a matrix       C[hi, lo] = sum_n  w_n * [hi_n == hi] * [lo_n == lo]
-                                     = A^T @ B
-  with one-hot operands    A[n, hi] = (idx_n >> 7 == hi)
-                           B[n, lo] = w_n * (idx_n & 127 == lo)
+                                     = A @ B^T
+  with one-hot operands    A[hi, n] = (idx_n >> 7 == hi)
+                           B[lo, n] = w_n * (idx_n & 127 == lo)
+
+Operand orientation matters on TPU: updates live on the *lane* (minor)
+dimension of both A and B, so they broadcast straight out of a [1, CHUNK]
+VMEM row with no relayout, and the contraction runs over the minor dims
+(``x @ y.T``, a native MXU fast path). The transposed-column orientation
+(updates on sublanes) would force either an in-kernel relayout or — worse —
+a [..., CHUNK, 1] HBM operand whose trailing unit dim XLA pads to 128 lanes
+(a measured 128x memory blowup at batch scale).
 
 A and B are generated **inside the kernel** (VPU iota-compare in VMEM — they
 never touch HBM) and contracted on the MXU. Exactness for arbitrary int32
@@ -24,10 +32,11 @@ Out-of-range indices (idx < 0 or idx >= width) match no one-hot column and
 are dropped for free — callers encode "invalid" as idx = width instead of
 carrying a separate mask.
 
-Cost per update is `width` MACs (one one-hot column dot); on the MXU the
-128x128 systolic array pads hi < 128, so every width <= 2^14 costs the same
-as 2^14 and the kernel beats the ~7 ns scatter up to width ~2^18 (the
-measured crossover used by models/sketch's "auto" ingestion).
+Cost per update is `width` MACs (one one-hot column dot) plus
+`width/128 + 128` VPU compares for operand generation. Measured on v5e:
+0.21 ns/update at width 2^14, 0.71 ns at 2^16 — linear in width, crossing
+the ~7 ns scatter around width ~2^19. models/sketch's "auto" ingestion
+switches at MXU_MAX_WIDTH_LOG2.
 
 Three entry points:
 - :func:`mxu_histogram`       — flat weighted histogram, int32 [width]
@@ -51,13 +60,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LO = 128        # lane-dim digit: bucket % 128
-CHUNK = 2048    # updates ingested per grid step (contraction length)
-HI_TILE = 2048  # max sublane-dim tile of the count matrix per grid step
+CHUNK = 8192    # updates per one-hot matmul (contraction length)
+GSUB = 8        # chunks ingested per grid step (block sublane dim: Mosaic
+                # requires the 2nd-minor block dim be a multiple of 8)
+HI_TILE = 512   # max sublane-dim tile of the count matrix per grid step
 PACK = 32       # bits per packed Bloom word
 
 #: Widths where the MXU one-hot matmul beats XLA's serialized scatter
-#: (~7 ns/update): per-update cost is max(width, 2^14) MACs ~= 0.16 ns at
-#: width 2^14, crossing ~7 ns around width 2^18 (docs/design.md §7).
+#: (~7 ns/update): measured 0.21 ns at 2^14 and 0.71 ns at 2^16 on v5e,
+#: linear in width -> crossover ~2^19; 18 keeps a safety margin
+#: (docs/design.md §7).
 MXU_MIN_WIDTH_LOG2 = 10
 MXU_MAX_WIDTH_LOG2 = 18
 
@@ -72,43 +84,61 @@ def _planes(weight_bits: int) -> int:
 def _onehot_counts(idx, w, hi_tile: int, hi_base, planes: int):
     """Exact int32 count matrix [hi_tile, LO] for one chunk of updates.
 
-    idx, w: [CHUNK, 1] int32. One bf16 matmul per 8-bit weight digit plane;
-    digits (0..255) are exact in bf16, per-plane chunk sums < 256*CHUNK <
-    2^24 are exact in f32, and the int32 shift-recombination wraps exactly
-    like uint32 modular arithmetic (so full-range int32 weights are exact).
+    idx: [1, CHUNK] int32 (updates on lanes); w: [1, CHUNK] int32 or None
+    (count each update once — skips the weight load and select entirely).
+    One bf16 matmul per 8-bit weight digit plane; digits (0..255) are exact
+    in bf16, per-plane chunk sums < 256*CHUNK < 2^24 are exact in f32, and
+    the int32 shift-recombination wraps exactly like uint32 modular
+    arithmetic (so full-range int32 weights are exact).
     """
-    hi_iota = hi_base + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, hi_tile), 1)
-    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, LO), 1)
-    a = ((idx >> 7) == hi_iota).astype(jnp.bfloat16)
-    lo_match = (idx & 127) == lo_iota
+    hi_iota = hi_base + jax.lax.broadcasted_iota(jnp.int32, (hi_tile, CHUNK), 0)
+    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (LO, CHUNK), 0)
+    a = ((idx >> 7) == hi_iota).astype(jnp.bfloat16)  # [hi_tile, CHUNK]
+    lo_match = (idx & 127) == lo_iota                 # [LO, CHUNK]
+
+    def dot(b):
+        # contract the minor (lane) dims of both operands: A @ B^T
+        return jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(jnp.int32)
+
+    if w is None:
+        return dot(lo_match.astype(jnp.bfloat16))
     wu = w.astype(jnp.uint32)
     acc = None
     for p in range(planes):
         digit = ((wu >> (8 * p)) & jnp.uint32(0xFF)).astype(jnp.int32)
-        b = jnp.where(lo_match, digit, 0).astype(jnp.bfloat16)
-        c = jax.lax.dot_general(
-            a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ).astype(jnp.int32)
+        c = dot(jnp.where(lo_match, digit, 0).astype(jnp.bfloat16))
         c = c << (8 * p)
         acc = c if acc is None else acc + c
     return acc
 
 
-def _hist_kernel(idx_ref, w_ref, out_ref, *, hi_tile: int, planes: int):
+def _hist_kernel(*refs, hi_tile: int, planes: int, has_w: bool):
     """grid = (rows, hi_tiles, chunks); out block [1, hi_tile, LO] stays
     resident in VMEM across the chunk dimension (innermost grid dim)."""
+    if has_w:
+        idx_ref, w_ref, out_ref = refs
+    else:
+        (idx_ref, out_ref), w_ref = refs, None
+
     @pl.when(pl.program_id(2) == 0)
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
 
     hi_base = pl.program_id(1) * hi_tile
-    out_ref[0] += _onehot_counts(
-        idx_ref[0, 0], w_ref[0, 0], hi_tile, hi_base, planes
-    )
+    total = None
+    for j in range(GSUB):
+        c = _onehot_counts(
+            idx_ref[0, j : j + 1],
+            None if w_ref is None else w_ref[0, j : j + 1],
+            hi_tile, hi_base, planes,
+        )
+        total = c if total is None else total + c
+    out_ref[0] += total
 
 
-def _bloom_kernel(idx_ref, w_ref, out_ref, acc_ref, *, hi_tile: int,
-                  nchunks: int):
+def _bloom_kernel(idx_ref, out_ref, acc_ref, *, hi_tile: int, nchunks: int):
     """Presence accumulation in VMEM scratch; last chunk packs 32 sublanes
     per lane into one uint32 word (bit b of word [q, j] = bucket presence at
     hi = 32q + b, lo = j — see word_index/bit_index for the bijection)."""
@@ -117,41 +147,52 @@ def _bloom_kernel(idx_ref, w_ref, out_ref, acc_ref, *, hi_tile: int,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     hi_base = pl.program_id(0) * hi_tile
-    acc_ref[:] += _onehot_counts(idx_ref[0, 0], w_ref[0, 0], hi_tile, hi_base, 1)
+    total = None
+    for j in range(GSUB):
+        c = _onehot_counts(idx_ref[0, j : j + 1], None, hi_tile, hi_base, 1)
+        total = c if total is None else total + c
+    acc_ref[:] += total
 
     @pl.when(pl.program_id(1) == nchunks - 1)
     def _pack():
-        present = (acc_ref[:] > 0).astype(jnp.uint32)
-        shift = jax.lax.broadcasted_iota(
-            jnp.uint32, (hi_tile // PACK, PACK, LO), 1
-        )
-        vals = present.reshape(hi_tile // PACK, PACK, LO) << shift
-        out_ref[0] = jnp.sum(vals, axis=1)
+        # int32 throughout (Mosaic can't reduce unsigned ints); the bit
+        # pattern is identical, bitcast at the end. Unrolled OR instead of
+        # a sum-reduction over the middle axis for the same reason.
+        present = (acc_ref[:] > 0).astype(jnp.int32)
+        present = present.reshape(hi_tile // PACK, PACK, LO)
+        word = None
+        for j in range(PACK):
+            bit = present[:, j, :] << j
+            word = bit if word is None else word | bit
+        out_ref[0] = jax.lax.bitcast_convert_type(word, jnp.uint32)
 
 
 def _prep(idx: jnp.ndarray, weight: jnp.ndarray | None, width_log2: int):
     """Flatten rows, clamp-pad, and pick grid/tiling. Returns
-    (idx [R, G, CHUNK, 1], w [R, G, CHUNK, 1], rows, g, hi, hi_tile)."""
+    (idx [R, G, CHUNK], w [R, G, CHUNK], rows, g, hi, hi_tile).
+
+    Updates stay on the minor (lane) dimension end to end — see the module
+    docstring for why a trailing unit dim is catastrophic here.
+    """
     rows = idx.shape[0]
     idx = idx.reshape(rows, -1).astype(jnp.int32)
     n = idx.shape[1]
-    if weight is None:
-        weight = jnp.ones_like(idx)
-    else:
+    if weight is not None:
         weight = jnp.broadcast_to(
             weight.astype(jnp.int32).reshape(-1, n), (rows, n)
         )
-    pad = (-n) % CHUNK
+    pad = (-n) % (CHUNK * GSUB)
     if pad:
         # padded entries: idx = -1 matches no one-hot column => dropped
         idx = jnp.pad(idx, ((0, 0), (0, pad)), constant_values=-1)
-        weight = jnp.pad(weight, ((0, 0), (0, pad)))
+        if weight is not None:
+            weight = jnp.pad(weight, ((0, 0), (0, pad)))
     g = (n + pad) // CHUNK
     hi = (1 << width_log2) // LO
     hi_tile = min(hi, HI_TILE)
     return (
-        idx.reshape(rows, g, CHUNK, 1),
-        weight.reshape(rows, g, CHUNK, 1),
+        idx.reshape(rows, g, CHUNK),
+        None if weight is None else weight.reshape(rows, g, CHUNK),
         rows, g, hi, hi_tile,
     )
 
@@ -187,15 +228,14 @@ def mxu_histogram_rows(
     planes = _planes(weight_bits)
     idxb, wb, rows, g, hi, hi_tile = _prep(idx, weight, width_log2)
 
+    spec = pl.BlockSpec((1, GSUB, CHUNK), lambda r, h, i: (r, i, 0),
+                        memory_space=pltpu.VMEM)
+    operands = (idxb,) if wb is None else (idxb, wb)
     counts = pl.pallas_call(
-        partial(_hist_kernel, hi_tile=hi_tile, planes=planes),
-        grid=(rows, hi // hi_tile, g),
-        in_specs=[
-            pl.BlockSpec((1, 1, CHUNK, 1), lambda r, h, i: (r, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, CHUNK, 1), lambda r, h, i: (r, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        partial(_hist_kernel, hi_tile=hi_tile, planes=planes,
+                has_w=wb is not None),
+        grid=(rows, hi // hi_tile, g // GSUB),
+        in_specs=[spec] * len(operands),
         out_specs=pl.BlockSpec((1, hi_tile, LO), lambda r, h, i: (r, h, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows, hi, LO), jnp.int32),
@@ -203,7 +243,7 @@ def mxu_histogram_rows(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(idxb, wb)
+    )(*operands)
     return counts.reshape(rows, -1)
 
 
@@ -261,15 +301,13 @@ def mxu_bloom_words(
     if weight is not None:
         # presence needs only w != 0; fold into idx to keep one plane
         idx = jnp.where(weight.astype(jnp.int32) != 0, idx, -1)
-    idxb, wb, rows, g, hi, hi_tile = _prep(idx.reshape(1, -1), None, width_log2)
+    idxb, _, rows, g, hi, hi_tile = _prep(idx.reshape(1, -1), None, width_log2)
 
     words = pl.pallas_call(
-        partial(_bloom_kernel, hi_tile=hi_tile, nchunks=g),
-        grid=(hi // hi_tile, g),
+        partial(_bloom_kernel, hi_tile=hi_tile, nchunks=g // GSUB),
+        grid=(hi // hi_tile, g // GSUB),
         in_specs=[
-            pl.BlockSpec((1, 1, CHUNK, 1), lambda h, i: (0, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, CHUNK, 1), lambda h, i: (0, i, 0, 0),
+            pl.BlockSpec((1, GSUB, CHUNK), lambda h, i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, hi_tile // PACK, LO),
@@ -283,5 +321,5 @@ def mxu_bloom_words(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(idxb, wb)
+    )(idxb)
     return words.reshape(-1)

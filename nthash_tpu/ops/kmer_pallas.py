@@ -63,15 +63,20 @@ def auto_interleave(length: int, w: int, nout: int, reads: int) -> int:
 
 
 def _kernel(in_ref, *out_refs, k: int, num_hashes: int, length: int,
-            ni: int, tabs: PlaneTables, emit_fwd_rev: bool):
+            ni: int, tabs: PlaneTables, emit_fwd_rev: bool,
+            emit_buckets: int | None):
     shape = (ni, SUBLANES, LANES)
 
-    def step(t, fwd, rev):
+    def step(t, fwd, rev, inv):
         """One fully-static roll step (t is a Python int: all indexing is
         static, warm-up steps skip the roll-out work entirely)."""
         c_in = in_ref[t]
         fwd = u64.xor(u64.srol1(fwd), u64.lookup5(c_in, tabs.fwd_in))
         rev = u64.xor(u64.sror1(rev), u64.lookup5(c_in, tabs.rev_in))
+        if inv is not None:
+            # rolling invalid-base count for the current window: validity
+            # is fused in-kernel so bucket output needs no separate mask
+            inv = inv + (c_in >= 4).astype(jnp.int32)
         if t >= k:
             c_out = in_ref[t - k]
             fwd = u64.xor(fwd, u64.lookup5(c_out, tabs.fwd_out))
@@ -79,27 +84,41 @@ def _kernel(in_ref, *out_refs, k: int, num_hashes: int, length: int,
             # recurrence; compensate with the srol'd constant instead:
             # sror(x ^ y) == sror(x) ^ sror(y), so fold sror into the table.
             rev = u64.xor(rev, u64.lookup5(c_out, tabs.rev_out_r))
+            if inv is not None:
+                inv = inv - (c_out >= 4).astype(jnp.int32)
         if t >= k - 1:
             canon = u64.add(fwd, rev)
             ext = u64.extend_hashes(canon, k, num_hashes)
-            if emit_fwd_rev:
-                ext = ext + [fwd, rev]
             w = t - k + 1
-            for i, e in enumerate(ext):
-                out_refs[2 * i][w] = e.hi
-                out_refs[2 * i + 1][w] = e.lo
-        return fwd, rev
+            if emit_buckets is None:
+                if emit_fwd_rev:
+                    ext = ext + [fwd, rev]
+                for i, e in enumerate(ext):
+                    out_refs[2 * i][w] = e.hi
+                    out_refs[2 * i + 1][w] = e.lo
+            else:
+                # bucket index = low emit_buckets bits; invalid windows emit
+                # the out-of-range sentinel `width`, which the MXU histogram
+                # kernels drop for free (ops/hist_pallas.py)
+                mask = jnp.uint32((1 << emit_buckets) - 1)
+                width = jnp.int32(1 << emit_buckets)
+                valid = inv == 0
+                for i, e in enumerate(ext):
+                    b = (e.lo & mask).astype(jnp.int32)
+                    out_refs[i][w] = jnp.where(valid, b, width)
+        return fwd, rev, inv
 
     fwd = U64.zeros(shape)
     rev = U64.zeros(shape)
+    inv = jnp.zeros(shape, jnp.int32) if emit_buckets is not None else None
     for t in range(length):
-        fwd, rev = step(t, fwd, rev)
+        fwd, rev, inv = step(t, fwd, rev, inv)
 
 
 @partial(
     jax.jit,
     static_argnames=("k", "num_hashes", "interleave", "emit_fwd_rev",
-                     "interpret"),
+                     "emit_buckets", "interpret"),
 )
 def hash_kmers_tm(
     codes_tm: jnp.ndarray,
@@ -108,8 +127,9 @@ def hash_kmers_tm(
     *,
     interleave: int | None = None,
     emit_fwd_rev: bool = False,
+    emit_buckets: int | None = None,
     interpret: bool = False,
-) -> U64:
+):
     """Hash all k-mer windows of time-major coded reads.
 
     Args:
@@ -120,18 +140,31 @@ def hash_kmers_tm(
       num_hashes: canonical + nte64 extensions per window.
       interleave: independent register tiles per program (ILP knob).
       emit_fwd_rev: additionally emit the forward and reverse hashes.
+      emit_buckets: if set (a width_log2), emit int32 bucket indices
+        ``hash & (2**emit_buckets - 1)`` instead of 64-bit hashes, with
+        invalid windows (any non-ACGTU base) fused in-kernel to the
+        out-of-range sentinel ``2**emit_buckets``. Halves the output HBM
+        traffic and feeds ops/hist_pallas directly — the fast path of the
+        hash -> count pipeline (the consumer the reference delegates to
+        btllib, include/nthash/nthash.hpp:56-58).
 
     Returns:
-      list of U64 with arrays of shape [W, R]: canonical + extensions
-      (+ fwd, rev if requested) for every window. Window w of read r is at
-      [w, r]. Validity must be derived separately (window_valid).
+      Without emit_buckets: list of U64 with arrays of shape [W, R]:
+      canonical + extensions (+ fwd, rev if requested) for every window.
+      Window w of read r is at [w, r]; validity must be derived separately
+      (window_valid). With emit_buckets: list of int32 arrays [W, R] of
+      bucket indices (validity already fused).
     """
     length, reads = codes_tm.shape
     if length < k:
         raise ValueError(f"sequence length ({length}) is smaller than k ({k})")
+    if emit_buckets is not None and emit_fwd_rev:
+        raise ValueError("emit_buckets and emit_fwd_rev are exclusive")
     w = length - k + 1
     nout = num_hashes + (2 if emit_fwd_rev else 0)
-    ni = interleave or auto_interleave(length, w, nout, reads)
+    # bucket outputs are int32 (1 array/hash), hash outputs 2 limb arrays
+    out_arrays = nout if emit_buckets is not None else 2 * nout
+    ni = interleave or auto_interleave(length, w, out_arrays, reads)
     if reads % (ni * TILE):
         raise ValueError(f"R ({reads}) must be a multiple of {ni * TILE}")
     ntiles = reads // TILE
@@ -147,13 +180,14 @@ def hash_kmers_tm(
         (w, ni, SUBLANES, LANES), lambda i: (0, i, 0, 0),
         memory_space=pltpu.VMEM,
     )
+    out_dtype = jnp.int32 if emit_buckets is not None else jnp.uint32
     out_shape = tuple(
-        jax.ShapeDtypeStruct((w, ntiles, SUBLANES, LANES), jnp.uint32)
-        for _ in range(2 * nout)
+        jax.ShapeDtypeStruct((w, ntiles, SUBLANES, LANES), out_dtype)
+        for _ in range(out_arrays)
     )
 
     # Generous VMEM window (v5e has 128 MB physical): the pipeline needs
-    # double-buffered input + 2*nout output blocks plus compiler stack.
+    # double-buffered input + output blocks plus compiler stack.
     vmem_bytes = 64 * 1024 * 1024
     outs = pl.pallas_call(
         partial(
@@ -164,10 +198,11 @@ def hash_kmers_tm(
             ni=ni,
             tabs=tabs,
             emit_fwd_rev=emit_fwd_rev,
+            emit_buckets=emit_buckets,
         ),
         grid=grid,
         in_specs=[block_in],
-        out_specs=tuple(block_out for _ in range(2 * nout)),
+        out_specs=tuple(block_out for _ in range(out_arrays)),
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(vmem_bytes, 100 * 1024 * 1024),
@@ -175,6 +210,8 @@ def hash_kmers_tm(
         interpret=interpret,
     )(x)
 
+    if emit_buckets is not None:
+        return [o.reshape(w, reads) for o in outs]
     return [
         U64(outs[2 * i].reshape(w, reads), outs[2 * i + 1].reshape(w, reads))
         for i in range(nout)

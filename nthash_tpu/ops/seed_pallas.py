@@ -103,11 +103,15 @@ def seed_taps(seed: str) -> list[BlockTaps]:
 
 
 def _kernel(in_ref, *out_refs, k: int, num_hashes: int, length: int,
-            ni: int, all_taps: tuple, emit_fwd_rev: bool):
+            ni: int, all_taps: tuple, emit_fwd_rev: bool,
+            emit_buckets: int | None):
     shape = (ni, SUBLANES, LANES)
     nseeds = len(all_taps)
     fwd = [U64.zeros(shape) for _ in range(nseeds)]
     rev = [U64.zeros(shape) for _ in range(nseeds)]
+    # rolling invalid-base count over the full k-window (strict validity,
+    # fused in-kernel for bucket output — same as ops/kmer_pallas.py)
+    inv = jnp.zeros(shape, jnp.int32) if emit_buckets is not None else None
 
     for t in range(length):
         # cache tile loads: several blocks/seeds tap the same offset
@@ -117,6 +121,11 @@ def _kernel(in_ref, *out_refs, k: int, num_hashes: int, length: int,
             if off not in loaded:
                 loaded[off] = in_ref[t - off]
             return loaded[off]
+
+        if inv is not None:
+            inv = inv + (tap(0) >= 4).astype(jnp.int32)
+            if t >= k:
+                inv = inv - (tap(k) >= 4).astype(jnp.int32)
 
         for si, taps in enumerate(all_taps):
             f = u64.srol1(fwd[si])
@@ -135,9 +144,19 @@ def _kernel(in_ref, *out_refs, k: int, num_hashes: int, length: int,
         if t >= k - 1:
             w = t - k + 1
             o = 0
+            if emit_buckets is not None:
+                mask = jnp.uint32((1 << emit_buckets) - 1)
+                width = jnp.int32(1 << emit_buckets)
+                valid = inv == 0
             for si in range(nseeds):
                 canon = u64.add(fwd[si], rev[si])
                 ext = u64.extend_hashes(canon, k, num_hashes)
+                if emit_buckets is not None:
+                    for e in ext:
+                        b = (e.lo & mask).astype(jnp.int32)
+                        out_refs[o][w] = jnp.where(valid, b, width)
+                        o += 1
+                    continue
                 if emit_fwd_rev:
                     ext = ext + [fwd[si], rev[si]]
                 for e in ext:
@@ -149,7 +168,7 @@ def _kernel(in_ref, *out_refs, k: int, num_hashes: int, length: int,
 @partial(
     jax.jit,
     static_argnames=("seeds", "num_hashes_per_seed", "interleave",
-                     "emit_fwd_rev", "interpret"),
+                     "emit_fwd_rev", "emit_buckets", "interpret"),
 )
 def hash_seeds_tm(
     codes_tm: jnp.ndarray,
@@ -158,8 +177,9 @@ def hash_seeds_tm(
     *,
     interleave: int | None = None,
     emit_fwd_rev: bool = False,
+    emit_buckets: int | None = None,
     interpret: bool = False,
-) -> list[U64]:
+):
     """Spaced-seed hash of every window of time-major coded reads.
 
     Args:
@@ -168,11 +188,15 @@ def hash_seeds_tm(
       seeds: tuple of '1'/'0' pattern strings, all of equal length k (static).
       num_hashes_per_seed: canonical + nte64 extensions per seed (static).
       emit_fwd_rev: additionally emit per-seed forward/reverse hashes.
+      emit_buckets: if set (a width_log2), emit int32 bucket indices with
+        strict window validity fused in-kernel (invalid -> sentinel
+        ``2**emit_buckets``) — see ops/kmer_pallas.hash_kmers_tm.
 
     Returns:
-      list of U64 [W, R] in reference hash_arr order (seed-major:
-      seeds[0] hashes, then seeds[1] hashes, ...); with emit_fwd_rev each
-      seed's group is followed by its (fwd, rev).
+      Without emit_buckets: list of U64 [W, R] in reference hash_arr order
+      (seed-major: seeds[0] hashes, then seeds[1] hashes, ...); with
+      emit_fwd_rev each seed's group is followed by its (fwd, rev). With
+      emit_buckets: list of int32 [W, R] bucket arrays in hash_arr order.
     """
     length, reads = codes_tm.shape
     k = len(seeds[0])
@@ -180,10 +204,13 @@ def hash_seeds_tm(
         raise ValueError("all seed strings must have equal length k")
     if length < k:
         raise ValueError(f"sequence length ({length}) is smaller than k ({k})")
+    if emit_buckets is not None and emit_fwd_rev:
+        raise ValueError("emit_buckets and emit_fwd_rev are exclusive")
     w = length - k + 1
     per_seed = num_hashes_per_seed + (2 if emit_fwd_rev else 0)
     nout = len(seeds) * per_seed
-    ni = interleave or auto_interleave(length, w, nout, reads)
+    out_arrays = nout if emit_buckets is not None else 2 * nout
+    ni = interleave or auto_interleave(length, w, out_arrays, reads)
     if reads % (ni * TILE):
         raise ValueError(f"R ({reads}) must be a multiple of {ni * TILE}")
     ntiles = reads // TILE
@@ -199,9 +226,10 @@ def hash_seeds_tm(
         (w, ni, SUBLANES, LANES), lambda i: (0, i, 0, 0),
         memory_space=pltpu.VMEM,
     )
+    out_dtype = jnp.int32 if emit_buckets is not None else jnp.uint32
     out_shape = tuple(
-        jax.ShapeDtypeStruct((w, ntiles, SUBLANES, LANES), jnp.uint32)
-        for _ in range(2 * nout)
+        jax.ShapeDtypeStruct((w, ntiles, SUBLANES, LANES), out_dtype)
+        for _ in range(out_arrays)
     )
 
     outs = pl.pallas_call(
@@ -213,10 +241,11 @@ def hash_seeds_tm(
             ni=ni,
             all_taps=all_taps,
             emit_fwd_rev=emit_fwd_rev,
+            emit_buckets=emit_buckets,
         ),
         grid=grid,
         in_specs=[block_in],
-        out_specs=tuple(block_out for _ in range(2 * nout)),
+        out_specs=tuple(block_out for _ in range(out_arrays)),
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -224,6 +253,8 @@ def hash_seeds_tm(
         interpret=interpret,
     )(x)
 
+    if emit_buckets is not None:
+        return [o.reshape(w, reads) for o in outs]
     return [
         U64(outs[2 * i].reshape(w, reads), outs[2 * i + 1].reshape(w, reads))
         for i in range(nout)

@@ -35,6 +35,54 @@ def resolve_engine(engine: str = "auto") -> str:
 
 @partial(
     jax.jit,
+    static_argnames=("k", "mesh", "interpret"),
+)
+def fused_count(
+    codes: jnp.ndarray,
+    sketch: cms.CountMinSketch,
+    k: int,
+    mesh: Mesh,
+    *,
+    interpret: bool = False,
+) -> cms.CountMinSketch:
+    """Distributed fused counting: per shard, the Pallas hash kernel emits
+    int32 bucket indices (validity fused in-kernel) straight into the MXU
+    histogram — no 64-bit hash ever reaches HBM — then one psum merges the
+    per-device sketches. This is the fastest end-to-end counting step
+    (docs/design.md §7: 1.07e9 k-mers/s/chip at 4 x 2^14 on v5e).
+
+    codes: [B, L] uint8 sharded over the reads axis; one sketch row per
+    nte64 hash. Returns the merged CountMinSketch (replicated).
+    """
+    from ..ops.kmer_pallas import hash_kmers_tm, prepare_codes
+
+    num_rows, width = sketch.rows.shape
+    width_log2 = width.bit_length() - 1
+
+    def local_step(local_codes, local_rows):
+        tm = prepare_codes(local_codes, 1)
+        buckets = hash_kmers_tm(
+            tm, k, num_rows, emit_buckets=width_log2, interpret=interpret
+        )
+        counts = cms.update_from_buckets(
+            cms.CountMinSketch(jnp.zeros_like(local_rows)),
+            buckets,
+            interpret=interpret,
+        ).rows
+        return local_rows + jax.lax.psum(counts, READS_AXIS)
+
+    rows = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(READS_AXIS, None), P()),
+        out_specs=P(),
+        check_vma=False,
+    )(codes, sketch.rows)
+    return cms.CountMinSketch(rows)
+
+
+@partial(
+    jax.jit,
     static_argnames=("k", "num_hashes", "width_log2", "mesh", "engine"),
 )
 def hash_and_sketch(

@@ -28,14 +28,14 @@ def device_mesh(n_devices: int | None = None, axis: str = READS_AXIS) -> Mesh:
 
 
 def initialize_distributed(**kwargs) -> None:
-    """Multi-host init (no-op on a single process).
+    """Multi-host init: one entry point for forming the cross-host (DCN)
+    coordination service. Coordinator address etc. come from the standard
+    JAX env vars or kwargs (jax.distributed.initialize).
 
-    Thin wrapper over jax.distributed.initialize so multi-host deployments
-    have one entry point; coordinator address etc. come from the standard
-    JAX env vars or kwargs.
+    Idempotent — a second call is a no-op. Real initialization failures
+    propagate (swallowing them would silently degrade a pod job to one
+    process). Exercised end-to-end by tests/test_multihost.py.
     """
-    try:
-        jax.distributed.initialize(**kwargs)
-    except RuntimeError:
-        # already initialized, or single-process context
-        pass
+    if jax.distributed.is_initialized():
+        return
+    jax.distributed.initialize(**kwargs)

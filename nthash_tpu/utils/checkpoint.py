@@ -63,6 +63,11 @@ def load(path, like):
         raise ValueError(
             f"checkpoint has {len(leaves)} leaves, expected {len(like_leaves)}"
         )
+    if meta.get("treedef") != str(treedef):
+        raise ValueError(
+            "checkpoint tree structure does not match the requested state: "
+            f"saved {meta.get('treedef')!r}, expected {str(treedef)!r}"
+        )
     import jax.numpy as jnp
 
     leaves = [

@@ -3,9 +3,11 @@
 The reference's only instrumentation is wall-clock timing in its benchmark
 (reference examples/benchmark.cpp:32-42). Here:
 
-- :func:`timeit` — dispatch-pipelined, block_until_ready-fenced timing that
+- :func:`timeit` — dispatch-pipelined, host-transfer-fenced timing that
   measures true device time even through a high-latency TPU tunnel (queue N
-  async dispatches, sync once, divide).
+  async dispatches, sync once via a 1-element device->host copy, divide).
+  The host-copy fence matters: ``block_until_ready`` does not synchronize
+  through the axon tunnel (docs/design.md §7).
 - :func:`trace` — context manager around ``jax.profiler`` producing a
   TensorBoard/XProf trace directory for per-kernel analysis.
 - :func:`throughput` — hashes/s / k-mers/s bookkeeping for benchmark
@@ -19,6 +21,7 @@ import time
 from dataclasses import dataclass
 
 import jax
+import numpy as np
 
 
 @dataclass(frozen=True)
@@ -33,9 +36,19 @@ class Timing:
 
 
 def _sync(out):
+    """Fence on device completion of every array leaf in ``out``.
+
+    ``block_until_ready`` alone does NOT synchronize through the axon TPU
+    tunnel (docs/design.md §7) — it returns once the dispatch is queued, not
+    executed. A device->host transfer of one element does force execution on
+    every backend, so fence with a tiny ``np.asarray`` copy per leaf.
+    """
+    import jax.numpy as jnp
+
     for leaf in jax.tree_util.tree_leaves(out):
         if hasattr(leaf, "block_until_ready"):
             leaf.block_until_ready()
+            np.asarray(jnp.ravel(leaf)[:1])
     return out
 
 

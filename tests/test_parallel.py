@@ -156,3 +156,30 @@ def test_resolve_engine():
     assert dp.resolve_engine("jnp") == "jnp"
     assert dp.resolve_engine("pallas") == "pallas"
     assert dp.resolve_engine("auto") in ("jnp", "pallas")
+
+
+@pytest.mark.slow
+def test_fused_count_matches_oracle(rng):
+    """Distributed fused counting (Pallas bucket emission -> MXU histogram
+    -> psum merge) == host-oracle counts, on a 4-device mesh (interpret
+    mode; the TPU execution path is bench.py's job)."""
+    from nthash_tpu import oracle
+    from nthash_tpu.models import sketch as cms
+    from nthash_tpu.parallel import dp
+    from nthash_tpu.parallel.mesh import device_mesh
+
+    mesh = device_mesh(4)
+    B, L, k, h, wl = 4, 12, 5, 2, 10
+    codes = rng.integers(0, 5, size=(B, L), dtype=np.uint8)
+    sk = dp.fused_count(
+        dp.shard_reads(jnp.asarray(codes), mesh),
+        cms.CountMinSketch.zeros(h, wl), k, mesh, interpret=True,
+    )
+    exp = np.zeros((h, 1 << wl), np.int32)
+    for b in range(B):
+        _, _, ext, valid = oracle.hash_all_windows(codes[b], k, h)
+        for w_i in range(ext.shape[0]):
+            if valid[w_i]:
+                for r in range(h):
+                    exp[r, int(ext[w_i, r] & np.uint64((1 << wl) - 1))] += 1
+    assert np.array_equal(np.asarray(sk.rows), exp)

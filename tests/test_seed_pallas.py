@@ -71,3 +71,22 @@ def test_kernel_golden():
     assert h[0, 0, 3] == 0x7539D859409E5B0A
     assert h[2, 1, 5] == 0xA2B26F83A7BF55DE
     assert h[3, 2, 0] == 0x9F8F9FBF890D6351  # "10101" sees T#A#T at 0 and 2
+
+
+@pytest.mark.slow
+def test_seed_emit_buckets_matches_engine(rng):
+    from nthash_tpu.ops.kmer_pallas import prepare_codes
+
+    B, L, h, wl = 8, 18, 2, 12
+    seeds = ("1101011",)
+    codes = rng.integers(0, 6, size=(B, L), dtype=np.uint8)
+    tm = prepare_codes(jnp.asarray(codes), 1)
+    bucks = hash_seeds_tm(tm, seeds, h, interleave=1, emit_buckets=wl,
+                          interpret=True)
+    ref = hash_kmers_seeds(jnp.asarray(codes), seeds, h)
+    lo = np.asarray(ref.hashes.lo)
+    valid = np.asarray(ref.valid)
+    for i in range(h):
+        exp = np.where(valid, lo[:, :, i] & ((1 << wl) - 1), 1 << wl)
+        got = np.asarray(bucks[i]).T[:B]
+        assert np.array_equal(got, exp.astype(np.int32))

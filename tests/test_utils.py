@@ -74,3 +74,13 @@ def test_checkpoint_rejects_garbage(tmp_path):
     np.savez(path, a=np.arange(3))
     with pytest.raises((ValueError, KeyError)):
         checkpoint.load(path, CountMinSketch.zeros(1, 4))
+
+
+def test_checkpoint_rejects_wrong_structure(tmp_path):
+    """Same leaf count, different tree structure must be refused
+    (VERDICT r1 weak #9): a (dict) pytree is not a CountMinSketch."""
+    sk = CountMinSketch.zeros(1, 4)
+    path = tmp_path / "sk.npz"
+    checkpoint.save(path, sk)
+    with pytest.raises(ValueError, match="tree structure"):
+        checkpoint.load(path, {"rows": np.zeros((1, 16), np.int32)})
