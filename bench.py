@@ -160,7 +160,9 @@ def main():
 
     def bloom_step(x, words):
         bucks = _hk(x, k, COUNT_ROWS, emit_buckets=BLOOM_WIDTH_LOG2)
-        return insert_from_buckets(BloomFilter(words), bucks).words[::65536]
+        return insert_from_buckets(
+            BloomFilter(words), bucks, emitted_width_log2=BLOOM_WIDTH_LOG2
+        ).words[::65536]
 
     bloom_kmers = B * W / measure(jax.jit(bloom_step), tm, bf0.words, n=8)
 

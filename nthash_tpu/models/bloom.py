@@ -105,15 +105,24 @@ def insert(bf: BloomFilter, hashes: U64, valid: jnp.ndarray,
 
 
 def insert_from_buckets(
-    bf: BloomFilter, buckets, *, interpret: bool = False
+    bf: BloomFilter, buckets, *,
+    emitted_width_log2: int | None = None, interpret: bool = False
 ) -> BloomFilter:
     """Ingest pre-bucketed indices from the fused hash kernels.
 
     buckets: list of int32 arrays from ``hash_*_tm(..., emit_buckets=
     width_log2)`` with width matching the filter. Invalid windows carry
-    the out-of-range sentinel and are dropped by the kernel.
+    the out-of-range sentinel and are dropped by the kernel. Pass
+    ``emitted_width_log2`` (the ``emit_buckets`` value used) to guard
+    against width drift — buckets emitted at a smaller width would
+    silently insert their sentinel as a real bit of the wider filter.
     """
     width_log2 = (bf.words.shape[0] * 32).bit_length() - 1
+    if emitted_width_log2 is not None and emitted_width_log2 != width_log2:
+        raise ValueError(
+            f"buckets were emitted at width 2**{emitted_width_log2} but the "
+            f"filter width is 2**{width_log2}"
+        )
     idx = jnp.concatenate([b.reshape(-1) for b in buckets])
     new = mxu_bloom_words(idx, None, width_log2, interpret=interpret)
     return BloomFilter(bf.words | new)

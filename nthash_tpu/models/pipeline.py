@@ -45,7 +45,9 @@ def fused_count_step(codes_tm, sketch, k: int, *, interpret: bool = False):
     buckets = hash_kmers_tm(
         codes_tm, k, num_rows, emit_buckets=width_log2, interpret=interpret
     )
-    return cms.update_from_buckets(sketch, buckets, interpret=interpret)
+    return cms.update_from_buckets(
+        sketch, buckets, emitted_width_log2=width_log2, interpret=interpret
+    )
 
 
 class ReadHashingPipeline:

@@ -105,6 +105,7 @@ def update_from_buckets(
     sketch: CountMinSketch,
     buckets,
     *,
+    emitted_width_log2: int | None = None,
     interpret: bool = False,
 ) -> CountMinSketch:
     """Ingest pre-bucketed indices from the fused hash kernels.
@@ -115,7 +116,12 @@ def update_from_buckets(
     counts array r. Validity is already fused: invalid windows carry the
     out-of-range sentinel ``width`` and are dropped by the MXU kernel.
     This is the fast path of the counting pipeline (no 64-bit hash ever
-    reaches HBM; ~8x the round-1 scatter pipeline end to end on v5e).
+    reaches HBM; see BENCH_r02.json ``count_pipeline_kmers_per_s``).
+
+    Pass ``emitted_width_log2`` (the ``emit_buckets`` value used at the
+    hash kernel) to guard against width drift: buckets emitted at a
+    *smaller* width would silently count their invalid-window sentinel as
+    a real bucket of the wider sketch.
     """
     num_rows, width = sketch.rows.shape
     if len(buckets) != num_rows:
@@ -123,6 +129,11 @@ def update_from_buckets(
             f"got {len(buckets)} bucket arrays for {num_rows} sketch rows"
         )
     width_log2 = width.bit_length() - 1
+    if emitted_width_log2 is not None and emitted_width_log2 != width_log2:
+        raise ValueError(
+            f"buckets were emitted at width 2**{emitted_width_log2} but the "
+            f"sketch width is 2**{width_log2}"
+        )
     idx = jnp.stack([b.reshape(-1) for b in buckets])
     counts = mxu_histogram_rows(
         idx, None, width_log2, weight_bits=1, interpret=interpret

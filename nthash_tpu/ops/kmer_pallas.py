@@ -44,19 +44,21 @@ TILE = LANES * SUBLANES  # reads per (8,128) register tile
 _VMEM_BUDGET = 72 * 1024 * 1024
 
 
-def auto_interleave(length: int, w: int, nout: int, reads: int) -> int:
+def auto_interleave(length: int, w: int, out_arrays: int, reads: int) -> int:
     """Largest interleave in {8,4,2,1} whose pipelined VMEM blocks fit.
 
     Per grid step the pipeline holds the input block (length x ni x 1024
-    int32) and each output block (w x ni x 1024 uint32 x 2 limbs x nout).
+    int32) and ``out_arrays`` output blocks (w x ni x 1024 x 4 bytes each).
+    ``out_arrays`` is the raw 4-byte array count — callers already account
+    for limb doubling (2 arrays per 64-bit hash, 1 per bucket output).
     Empirically Mosaic's scoped stack allocation runs ~3x one block set
     (multi-buffering + spills), hence the factor 3.
     """
     for ni in (8, 4, 2, 1):
         if reads % (ni * TILE):
             continue
-        per_tile = TILE * 4  # bytes per (8,128) uint32 tile
-        need = 3 * ni * per_tile * (length + 2 * nout * w)
+        per_tile = TILE * 4  # bytes per (8,128) 4-byte-dtype tile
+        need = 3 * ni * per_tile * (length + out_arrays * w)
         if need <= _VMEM_BUDGET:
             return ni
     return 1

@@ -49,7 +49,8 @@ def fused_count(
     int32 bucket indices (validity fused in-kernel) straight into the MXU
     histogram — no 64-bit hash ever reaches HBM — then one psum merges the
     per-device sketches. This is the fastest end-to-end counting step
-    (docs/design.md §7: 1.07e9 k-mers/s/chip at 4 x 2^14 on v5e).
+    (measured per round in BENCH_r*.json, ``count_pipeline_kmers_per_s``
+    for the single-chip step and ``dp_fused_kmers_per_s`` for this one).
 
     codes: [B, L] uint8 sharded over the reads axis; one sketch row per
     nte64 hash. Returns the merged CountMinSketch (replicated).
@@ -67,6 +68,7 @@ def fused_count(
         counts = cms.update_from_buckets(
             cms.CountMinSketch(jnp.zeros_like(local_rows)),
             buckets,
+            emitted_width_log2=width_log2,
             interpret=interpret,
         ).rows
         return local_rows + jax.lax.psum(counts, READS_AXIS)

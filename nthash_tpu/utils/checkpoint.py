@@ -24,13 +24,26 @@ from ..constants import NTHASH_FN_NAME
 _FORMAT = "nthash_tpu.ckpt.v1"
 
 
+def _leaf_paths(state) -> list[str]:
+    """Version-stable structural fingerprint: the key path of every leaf.
+
+    ``str(treedef)`` embeds class reprs whose format is not stable across
+    JAX versions; ``jax.tree_util.keystr`` paths (".rows", "[0].hi", ...)
+    are part of the public key-path API and identify the structure just as
+    uniquely for the NamedTuple/dataclass states checkpointed here.
+    """
+    paths_leaves, _ = jax.tree_util.tree_flatten_with_path(state)
+    return [jax.tree_util.keystr(path) for path, _ in paths_leaves]
+
+
 def save(path, state) -> None:
     """Persist any pytree of arrays, tagged with the hash-function name."""
     leaves, treedef = jax.tree_util.tree_flatten(state)
     meta = {
         "format": _FORMAT,
         "fn_name": NTHASH_FN_NAME,
-        "treedef": str(treedef),
+        "treedef": str(treedef),  # advisory only; leaf_paths is the contract
+        "leaf_paths": _leaf_paths(state),
         "num_leaves": len(leaves),
     }
     arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
@@ -63,7 +76,17 @@ def load(path, like):
         raise ValueError(
             f"checkpoint has {len(leaves)} leaves, expected {len(like_leaves)}"
         )
-    if meta.get("treedef") != str(treedef):
+    saved_paths = meta.get("leaf_paths")
+    want_paths = _leaf_paths(like)
+    if saved_paths is not None:
+        if saved_paths != want_paths:
+            raise ValueError(
+                "checkpoint tree structure does not match the requested "
+                f"state: saved leaf paths {saved_paths!r}, expected "
+                f"{want_paths!r}"
+            )
+    elif meta.get("treedef") != str(treedef):
+        # pre-leaf_paths checkpoints: fall back to the treedef string
         raise ValueError(
             "checkpoint tree structure does not match the requested state: "
             f"saved {meta.get('treedef')!r}, expected {str(treedef)!r}"
