@@ -29,6 +29,11 @@ from ..ops.hist_pallas import (
     MXU_MIN_WIDTH_LOG2,
     mxu_histogram_rows,
 )
+from ..ops.part_pallas import (
+    PART_MAX_WIDTH_LOG2,
+    PART_MIN_WIDTH_LOG2,
+    partitioned_histogram_rows,
+)
 from ..u64 import U64
 
 
@@ -55,13 +60,19 @@ def buckets(hashes: U64, width_log2: int) -> jnp.ndarray:
 
 
 def resolve_ingestion(ingestion: str, width_log2: int) -> str:
-    """'auto' -> the MXU histogram kernel on TPU below the scatter
-    crossover width (docs/design.md §7), scatter elsewhere."""
+    """'auto' -> on TPU, the direct MXU histogram below its crossover
+    width and the sort-partitioned MXU histogram at genome-scale widths
+    2^19..2^23 (measured ~2-3 ns/update vs ~8 ns scatter, docs/design.md
+    §7); scatter elsewhere."""
     if ingestion == "auto":
-        on_tpu = jax.default_backend() == "tpu"
-        in_range = MXU_MIN_WIDTH_LOG2 <= width_log2 <= MXU_MAX_WIDTH_LOG2
-        return "mxu" if on_tpu and in_range else "scatter"
-    if ingestion not in ("mxu", "scatter"):
+        if jax.default_backend() != "tpu":
+            return "scatter"
+        if MXU_MIN_WIDTH_LOG2 <= width_log2 <= MXU_MAX_WIDTH_LOG2:
+            return "mxu"
+        if PART_MIN_WIDTH_LOG2 <= width_log2 <= PART_MAX_WIDTH_LOG2:
+            return "partitioned"
+        return "scatter"
+    if ingestion not in ("mxu", "partitioned", "scatter"):
         raise ValueError(f"unknown ingestion {ingestion!r}")
     return ingestion
 
@@ -83,10 +94,19 @@ def update(
     num_rows = sketch.rows.shape[0]
     idx = buckets(hashes, width_log2).reshape(-1, num_rows)  # [N, R]
     w = valid.reshape(-1).astype(jnp.int32)
-    if resolve_ingestion(ingestion, width_log2) == "mxu":
+    mode = resolve_ingestion(ingestion, width_log2)
+    if mode == "mxu":
         counts = mxu_histogram_rows(
             idx.T, w, width_log2, weight_bits=1,
             interpret=jax.default_backend() != "tpu",
+        )
+        return CountMinSketch(sketch.rows + counts)
+    if mode == "partitioned":
+        # fold validity into the index (invalid -> out-of-range sentinel,
+        # dropped by the kernel)
+        folded = jnp.where(w[:, None] != 0, idx, jnp.int32(1 << width_log2))
+        counts = partitioned_histogram_rows(
+            folded.T, width_log2, interpret=jax.default_backend() != "tpu",
         )
         return CountMinSketch(sketch.rows + counts)
     # One plain scatter-add per row: TPU scatter is a serialized loop
@@ -135,9 +155,21 @@ def update_from_buckets(
             f"sketch width is 2**{width_log2}"
         )
     idx = jnp.stack([b.reshape(-1) for b in buckets])
-    counts = mxu_histogram_rows(
-        idx, None, width_log2, weight_bits=1, interpret=interpret
-    )
+    if width_log2 <= MXU_MAX_WIDTH_LOG2:
+        counts = mxu_histogram_rows(
+            idx, None, width_log2, weight_bits=1, interpret=interpret
+        )
+    elif width_log2 <= PART_MAX_WIDTH_LOG2:
+        # genome-scale widths: sort-partitioned MXU path (exact, with a
+        # skew-overflow scatter fallback inside)
+        counts = partitioned_histogram_rows(
+            idx, width_log2, interpret=interpret
+        )
+    else:
+        counts = jnp.stack([
+            jnp.zeros(width, jnp.int32).at[idx[r]].add(1, mode="drop")
+            for r in range(num_rows)
+        ])
     return CountMinSketch(sketch.rows + counts)
 
 

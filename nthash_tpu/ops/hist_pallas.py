@@ -268,6 +268,71 @@ def mxu_histogram(
     )[0]
 
 
+def _bloom_rows_kernel(idx_ref, out_ref, acc_ref, *, hi_tile: int,
+                       nchunks: int):
+    """Rows variant of _bloom_kernel: grid = (rows, hi_tiles, chunks)."""
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    hi_base = pl.program_id(1) * hi_tile
+    total = None
+    for j in range(GSUB):
+        c = _onehot_counts(idx_ref[0, j : j + 1], None, hi_tile, hi_base, 1)
+        total = c if total is None else total + c
+    acc_ref[:] += total
+
+    @pl.when(pl.program_id(2) == nchunks - 1)
+    def _pack():
+        present = (acc_ref[:] > 0).astype(jnp.int32)
+        present = present.reshape(hi_tile // PACK, PACK, LO)
+        word = None
+        for j in range(PACK):
+            bit = present[:, j, :] << j
+            word = bit if word is None else word | bit
+        out_ref[0, 0] = jax.lax.bitcast_convert_type(word, jnp.uint32)
+
+
+@partial(jax.jit, static_argnames=("width_log2", "interpret"))
+def mxu_bloom_words_rows(
+    idx: jnp.ndarray,
+    width_log2: int,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """R independent bit-packed presence maps -> uint32 [R, width / 32].
+
+    Rows variant of :func:`mxu_bloom_words` (same word_index/bit_index
+    bijection per row); used by ops/part_pallas.partitioned_bloom_words
+    with one row per partition. idx entries outside [0, 2**width_log2)
+    are dropped.
+    """
+    if not 12 <= width_log2 <= 26:
+        raise ValueError(f"width_log2 ({width_log2}) must be in [12, 26]")
+    idxb, _, rows, g, hi, hi_tile = _prep(idx, None, width_log2)
+
+    words = pl.pallas_call(
+        partial(_bloom_rows_kernel, hi_tile=hi_tile, nchunks=g // GSUB),
+        grid=(rows, hi // hi_tile, g // GSUB),
+        in_specs=[
+            pl.BlockSpec((1, GSUB, CHUNK), lambda r, h, i: (r, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, hi_tile // PACK, LO),
+                               lambda r, h, i: (r, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (rows, hi // hi_tile, hi_tile // PACK, LO), jnp.uint32
+        ),
+        scratch_shapes=[pltpu.VMEM((hi_tile, LO), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(idxb)
+    return words.reshape(rows, -1)
+
+
 def word_index(bucket):
     """Packed-word bijection used by mxu_bloom_words: bucket b lives in word
     ``((b >> 12) << 7) | (b & 127)`` at bit ``(b >> 7) & 31`` (32 sublanes of

@@ -82,6 +82,17 @@ def window_valid(codes: jnp.ndarray, k: int) -> jnp.ndarray:
     return (total - before) == 0
 
 
+def window_valid_tm(codes_tm: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Time-major variant: [L, R] codes -> [W, R] bool, no transpose
+    (cumsum over the time axis; matches ``window_valid(codes_tm.T, k).T``
+    without the relayout cost)."""
+    invalid = (codes_tm >= 4).astype(jnp.int32)
+    p = jnp.cumsum(invalid, axis=0)
+    total = p[k - 1 :]
+    before = jnp.pad(p, ((1, 0), (0, 0)))[: p.shape[0] - k + 1]
+    return (total - before) == 0
+
+
 def _roll_step(tabs: PlaneTables, state, xs):
     fwd, rev = state
     c_in, c_out = xs

