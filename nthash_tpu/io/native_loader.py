@@ -107,6 +107,21 @@ class NativeFastxParser:
             return None
         return codes[:n], lengths[:n]
 
+    def next_batch_into(self, out: np.ndarray) -> int:
+        """Fill rows of a preallocated [max_reads, row_len] uint8 array;
+        returns the number of reads produced (0 at EOF). Zero-copy row
+        writes — the streaming front-end's hot path (io/stream.py)."""
+        max_reads, row_len = out.shape
+        lengths = np.empty(max_reads, dtype=np.int64)
+        n = self._lib.nthash_parser_next_batch(
+            self._h, max_reads, row_len,
+            out.ctypes.data_as(ctypes.c_void_p),
+            lengths.ctypes.data_as(ctypes.c_void_p),
+        )
+        if n < 0:
+            raise ValueError(self._lib.nthash_parser_error(self._h).decode())
+        return int(n)
+
     def batches(self, max_reads: int, row_len: int):
         while True:
             b = self.next_batch(max_reads, row_len)

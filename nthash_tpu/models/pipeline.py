@@ -86,18 +86,53 @@ class ReadHashingPipeline:
         """Count-min multiplicity estimates for the given window hashes."""
         return cms.query(self.sketch, hashes, self.config.sketch_width_log2)
 
-    def run_file(self, path, batch_size: int = 65536):
-        """Stream a FASTA/FASTQ file through the pipeline; returns total
-        number of valid k-mers hashed."""
-        from ..io.fasta import BatchConfig, stream_batches
+    def run_file(self, path, batch_size: int = 65536,
+                 read_length: int | None = None, prefetch: int = 2):
+        """Stream a FASTA/FASTQ file through the full hash+sketch pipeline.
 
-        n = self.mesh.devices.size
-        total = 0
-        for batch in stream_batches(path, BatchConfig(batch_size=batch_size)):
-            b = batch.shape[0]
-            pad = (-b) % n
-            if pad:
-                batch = np.pad(batch, ((0, pad), (0, 0)), constant_values=4)
+        Parsing runs in a background thread (io/stream.Prefetcher over the
+        native C++ parser when available), and per-batch valid-k-mer
+        counts accumulate as *device* scalars — the single host sync
+        happens at the end, so parse / H2D / compute overlap across the
+        whole stream. Returns the total number of valid k-mers hashed.
+        """
+        from ..io.stream import Prefetcher, stream_code_batches
+
+        batch_size += (-batch_size) % self.mesh.devices.size
+        counts = []
+        for batch, _ in Prefetcher(
+            stream_code_batches(path, batch_size, read_length),
+            depth=prefetch,
+        ):
             _, valid = self.step(batch)
-            total += int(jnp.sum(valid.astype(jnp.int32)))
+            counts.append(jnp.sum(valid.astype(jnp.int32)))
+        return int(np.sum([np.asarray(c) for c in counts], dtype=np.int64))
+
+    def count_file(self, path, batch_size: int = 1 << 18,
+                   read_length: int | None = None, prefetch: int = 2):
+        """Stream a file through the *fused* hash->count pipeline (bucket
+        emission in-kernel, MXU histogram; no 64-bit hash reaches HBM) —
+        the production streaming configuration (BASELINE config 5).
+
+        Same overlap structure as :meth:`run_file`; every batch has a
+        fixed shape so the distributed step compiles exactly once.
+        Returns (reads_streamed, updated sketch is self.sketch).
+        """
+        from ..io.stream import Prefetcher, stream_code_batches
+        from ..parallel import dp
+
+        batch_size += (-batch_size) % self.mesh.devices.size
+        cfg = self.config
+        total = 0
+        for batch, n in Prefetcher(
+            stream_code_batches(path, batch_size, read_length),
+            depth=prefetch,
+        ):
+            codes = dp.shard_reads(jnp.asarray(batch), self.mesh)
+            self.sketch = dp.fused_count(
+                codes, self.sketch, cfg.k, self.mesh,
+                interpret=jax.default_backend() != "tpu",
+            )
+            total += n
+        jax.block_until_ready(self.sketch.rows)
         return total

@@ -128,3 +128,65 @@ def test_fused_count_step_matches_oracle(rng):
                 for r in range(h):
                     exp[r, int(ext[w_i, r] & np.uint64((1 << wl) - 1))] += 1
     assert np.array_equal(np.asarray(sk.rows), exp)
+
+
+def test_long_kernel_matches_jnp_small(rng):
+    """Time-tiled long-read kernel (interpret) vs the jnp engine: hashes
+    + fwd/rev across several time tiles, k not dividing L."""
+    from nthash_tpu.ops.kmer_pallas import hash_kmers_tm_long, prepare_codes
+    from nthash_tpu.ops.kmer_jnp import hash_kmers
+
+    k, L, B = 7, 90, 4
+    codes = rng.integers(0, 6, size=(B, L), dtype=np.uint8)
+    tm = prepare_codes(jnp.asarray(codes), 1)
+    outs = hash_kmers_tm_long(
+        tm, k, 2, time_tile=2 * k, emit_fwd_rev=True, interpret=True
+    )
+    ref = hash_kmers(jnp.asarray(codes), k, 2)
+    got_h = np.stack([o.to_np()[:, :B].T for o in outs[:2]], axis=-1)
+    assert np.array_equal(got_h, ref.hashes.to_np())
+    assert np.array_equal(outs[2].to_np()[:, :B].T, ref.fwd.to_np())
+    assert np.array_equal(outs[3].to_np()[:, :B].T, ref.rev.to_np())
+
+
+def test_long_kernel_buckets_small(rng):
+    from nthash_tpu.ops.kmer_pallas import hash_kmers_tm_long, prepare_codes
+    from nthash_tpu.ops.kmer_jnp import hash_kmers
+
+    k, L, B, wlog = 5, 40, 2, 10
+    codes = rng.integers(0, 6, size=(B, L), dtype=np.uint8)
+    tm = prepare_codes(jnp.asarray(codes), 1)
+    bucks = hash_kmers_tm_long(
+        tm, k, 2, time_tile=2 * k, emit_buckets=wlog, interpret=True
+    )
+    ref = hash_kmers(jnp.asarray(codes), k, 2)
+    lo = ref.hashes.lo.astype(np.uint32)
+    for i, b in enumerate(bucks):
+        exp = np.where(
+            np.asarray(ref.valid),
+            np.asarray(lo[..., i]) & ((1 << wlog) - 1),
+            1 << wlog,
+        ).astype(np.int32)
+        assert np.array_equal(np.asarray(b)[:, :B].T, exp)
+
+
+def test_auto_dispatch_picks_long_kernel():
+    from nthash_tpu.ops import kmer_pallas as kp
+
+    assert kp.long_read_threshold(10000, 10000 - 31, 2, 1024)
+    assert not kp.long_read_threshold(150, 119, 2, 1024)
+
+
+@pytest.mark.slow
+def test_long_kernel_matches_jnp_L4096(rng):
+    """Nanopore-scale L in interpret mode (VERDICT r2 task 4)."""
+    from nthash_tpu.ops.kmer_pallas import hash_kmers_tm_auto, prepare_codes
+    from nthash_tpu.ops.kmer_jnp import hash_kmers
+
+    k, L, B = 32, 4096, 1
+    codes = rng.integers(0, 5, size=(B, L), dtype=np.uint8)
+    tm = prepare_codes(jnp.asarray(codes), 1)
+    outs = hash_kmers_tm_auto(tm, k, 1, interpret=True)
+    ref = hash_kmers(jnp.asarray(codes), k, 1)
+    got = outs[0].to_np()[:, :B].T
+    assert np.array_equal(got, ref.hashes.to_np()[..., 0])
