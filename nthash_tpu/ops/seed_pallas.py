@@ -261,6 +261,187 @@ def hash_seeds_tm(
     ]
 
 
+def _kernel_long(in_ref, *out_refs, k: int, num_hashes: int, tile: int,
+                 ni: int, all_taps: tuple, emit_fwd_rev: bool,
+                 emit_buckets: int | None, nseeds: int):
+    """Time-tiled spaced-seed kernel (long reads): rolling per-seed state
+    and a k-deep code-history ring in VMEM scratch across sequential time
+    tiles — the ops/kmer_pallas._kernel_long scheme generalized to the
+    two-tap care-run recurrence. Tap offsets lie in [0, k]; with ``tile``
+    a multiple of k, the ring slot (t - off) mod k is static per unrolled
+    step, and reading all taps *before* writing the current code covers
+    off = k (the slot about to be overwritten). History initialized to
+    the invalid code makes warm-up exact (zero seed contribution)."""
+    nargs = len(out_refs) - (4 * nseeds + 1 +
+                             (1 if emit_buckets is not None else 0))
+    outs, scr = out_refs[:nargs], out_refs[nargs:]
+    state_refs, hist = scr[: 4 * nseeds], scr[4 * nseeds]
+    inv_ref = scr[4 * nseeds + 1] if emit_buckets is not None else None
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        for r in state_refs:
+            r[:] = jnp.zeros_like(r)
+        hist[:] = jnp.full_like(hist, 4)
+        if inv_ref is not None:
+            inv_ref[:] = jnp.full_like(inv_ref, k)
+
+    fwd = [U64(state_refs[4 * s][:], state_refs[4 * s + 1][:])
+           for s in range(nseeds)]
+    rev = [U64(state_refs[4 * s + 2][:], state_refs[4 * s + 3][:])
+           for s in range(nseeds)]
+    inv = inv_ref[:] if inv_ref is not None else None
+
+    for tl in range(tile):
+        loaded: dict[int, jnp.ndarray] = {}
+
+        def tap(off, tl=tl):
+            if off not in loaded:
+                loaded[off] = (
+                    in_ref[tl] if off == 0 else hist[(tl - off) % k]
+                )
+            return loaded[off]
+
+        if inv is not None:
+            inv = inv + (tap(0) >= 4).astype(jnp.int32) \
+                      - (tap(k) >= 4).astype(jnp.int32)
+        for si, taps in enumerate(all_taps):
+            f = u64.srol1(fwd[si])
+            r = u64.sror1(rev[si])
+            for blk in taps:
+                c = tap(blk.off_in)
+                f = u64.xor(f, u64.lookup5(c, blk.fwd_in))
+                r = u64.xor(r, u64.lookup5(c, blk.rev_in))
+                c = tap(blk.off_out)
+                f = u64.xor(f, u64.lookup5(c, blk.fwd_out))
+                r = u64.xor(r, u64.lookup5(c, blk.rev_out))
+            fwd[si], rev[si] = f, r
+        hist[tl % k] = tap(0)
+
+        o = 0
+        if emit_buckets is not None:
+            mask = jnp.uint32((1 << emit_buckets) - 1)
+            width = jnp.int32(1 << emit_buckets)
+            valid = inv == 0
+        for si in range(nseeds):
+            canon = u64.add(fwd[si], rev[si])
+            ext = u64.extend_hashes(canon, k, num_hashes)
+            if emit_buckets is not None:
+                for e in ext:
+                    b = (e.lo & mask).astype(jnp.int32)
+                    outs[o][tl] = jnp.where(valid, b, width)
+                    o += 1
+                continue
+            if emit_fwd_rev:
+                ext = ext + [fwd[si], rev[si]]
+            for e in ext:
+                outs[2 * o][tl] = e.hi
+                outs[2 * o + 1][tl] = e.lo
+                o += 1
+
+    for s in range(nseeds):
+        state_refs[4 * s][:], state_refs[4 * s + 1][:] = fwd[s].hi, fwd[s].lo
+        state_refs[4 * s + 2][:], state_refs[4 * s + 3][:] = (
+            rev[s].hi, rev[s].lo)
+    if inv_ref is not None:
+        inv_ref[:] = inv
+
+
+@partial(
+    jax.jit,
+    static_argnames=("seeds", "num_hashes_per_seed", "interleave",
+                     "time_tile", "emit_fwd_rev", "emit_buckets",
+                     "interpret"),
+)
+def hash_seeds_tm_long(
+    codes_tm: jnp.ndarray,
+    seeds: tuple[str, ...],
+    num_hashes_per_seed: int = 1,
+    *,
+    interleave: int = 1,
+    time_tile: int | None = None,
+    emit_fwd_rev: bool = False,
+    emit_buckets: int | None = None,
+    interpret: bool = False,
+):
+    """hash_seeds_tm for long reads: time-tiled grid, O(1) VMEM in L.
+    Same output contract as :func:`hash_seeds_tm`; L padded to a multiple
+    of the time tile (a multiple of k) with invalid codes."""
+    from .kmer_pallas import pick_time_tile
+
+    length, reads = codes_tm.shape
+    k = len(seeds[0])
+    if any(len(s) != k for s in seeds):
+        raise ValueError("all seed strings must have equal length k")
+    if length < k:
+        raise ValueError(f"sequence length ({length}) is smaller than k ({k})")
+    if emit_buckets is not None and emit_fwd_rev:
+        raise ValueError("emit_buckets and emit_fwd_rev are exclusive")
+    tile = time_tile or pick_time_tile(k)
+    if tile % k:
+        raise ValueError(f"time_tile ({tile}) must be a multiple of k ({k})")
+    ni = interleave
+    if reads % (ni * TILE):
+        raise ValueError(f"R ({reads}) must be a multiple of {ni * TILE}")
+    lpad = (-length) % tile
+    if lpad:
+        codes_tm = jnp.pad(codes_tm, ((0, lpad), (0, 0)), constant_values=4)
+    lp = length + lpad
+    ttiles = lp // tile
+    ntiles = reads // TILE
+    w = length - k + 1
+    nseeds = len(seeds)
+    per_seed = num_hashes_per_seed + (2 if emit_fwd_rev else 0)
+    nout = nseeds * per_seed
+    out_arrays = nout if emit_buckets is not None else 2 * nout
+    all_taps = tuple(tuple(seed_taps(s)) for s in seeds)
+
+    x = codes_tm.reshape(lp, ntiles, SUBLANES, LANES)
+    block = pl.BlockSpec(
+        (tile, ni, SUBLANES, LANES), lambda r, j: (j, r, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_dtype = jnp.int32 if emit_buckets is not None else jnp.uint32
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((lp, ntiles, SUBLANES, LANES), out_dtype)
+        for _ in range(out_arrays)
+    )
+    state = (ni, SUBLANES, LANES)
+    scratch = [pltpu.VMEM(state, jnp.uint32) for _ in range(4 * nseeds)]
+    scratch.append(pltpu.VMEM((k,) + state, jnp.int32))
+    if emit_buckets is not None:
+        scratch.append(pltpu.VMEM(state, jnp.int32))
+
+    outs = pl.pallas_call(
+        partial(
+            _kernel_long, k=k, num_hashes=num_hashes_per_seed, tile=tile,
+            ni=ni, all_taps=all_taps, emit_fwd_rev=emit_fwd_rev,
+            emit_buckets=emit_buckets, nseeds=nseeds,
+        ),
+        grid=(ntiles // ni, ttiles),
+        in_specs=[block],
+        out_specs=tuple(block for _ in range(out_arrays)),
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x)
+
+    if emit_buckets is not None:
+        return [o.reshape(lp, reads)[k - 1 : k - 1 + w] for o in outs]
+    return [
+        U64(
+            outs[2 * i].reshape(lp, reads)[k - 1 : k - 1 + w],
+            outs[2 * i + 1].reshape(lp, reads)[k - 1 : k - 1 + w],
+        )
+        for i in range(nout)
+    ]
+
+
 def hash_seeds_batch(
     codes: jnp.ndarray,
     seeds: Sequence[str],

@@ -76,7 +76,10 @@ def pseudo_reads(ext: jnp.ndarray, k: int, t: int) -> jnp.ndarray:
 
 
 def _hash_pseudo(pseudo, k, num_hashes, use_pallas, interpret):
-    """[rows, t+k-1] -> (hashes U64 [rows*t, H], valid [rows*t])."""
+    """[rows, t+k-1] -> (list of ``num_hashes`` U64 [rows*t], valid
+    [rows*t]). One flat [C] array per hash — a stacked [C, H] layout
+    would lane-pad the tiny trailing dim 128x on TPU (a measured 64 GB
+    allocation for H=1 at C=2^27)."""
     rows, lk = pseudo.shape
     t = lk - (k - 1)
     if use_pallas:
@@ -85,15 +88,17 @@ def _hash_pseudo(pseudo, k, num_hashes, use_pallas, interpret):
         tm = prepare_codes(pseudo, 1)
         res = hash_kmers_tm(tm, k, num_hashes, interpret=interpret)
         # [W=t, R] per hash -> [rows, t] batch-major -> flatten to [C]
-        hi = jnp.stack([h.hi.T[:rows] for h in res], -1).reshape(-1, num_hashes)
-        lo = jnp.stack([h.lo.T[:rows] for h in res], -1).reshape(-1, num_hashes)
-        hashes = U64(hi, lo)
+        hashes = [
+            U64(h.hi.T[:rows].reshape(-1), h.lo.T[:rows].reshape(-1))
+            for h in res
+        ]
     else:
         res = hash_kmers(pseudo, k, num_hashes)
-        hashes = U64(
-            res.hashes.hi.reshape(-1, num_hashes),
-            res.hashes.lo.reshape(-1, num_hashes),
-        )
+        hashes = [
+            U64(res.hashes.hi[..., i].reshape(-1),
+                res.hashes.lo[..., i].reshape(-1))
+            for i in range(num_hashes)
+        ]
     valid = window_valid(pseudo.astype(jnp.int32), k).reshape(-1)
     return hashes, valid
 
@@ -121,9 +126,12 @@ def hash_long_sequence(
       tile: windows per pseudo-read (default 256; clipped/adjusted to
         divide the per-device chunk).
 
-    Returns (hashes U64 [L, H] sharded over seq, valid [L] sharded): entry w
-    is the hash of window [w, w+k); the trailing k-1 entries (which would run
-    off the end) are masked invalid, so every device owns exactly L/n entries.
+    Returns (list of ``num_hashes`` U64 with [L] arrays sharded over seq,
+    valid [L] sharded): entry w of hash i is nte64 hash i of window
+    [w, w+k); the trailing k-1 entries (which would run off the end) are
+    masked invalid, so every device owns exactly L/n entries. One flat
+    array per hash is the TPU-native layout (a [L, H] stack would lane-pad
+    the trailing dim 128x).
     """
     n = mesh.shape[SEQ_AXIS]
     c = codes.shape[0] // n
@@ -135,16 +143,20 @@ def hash_long_sequence(
         hashes, valid = _hash_pseudo(
             pseudo_reads(ext, k, t), k, num_hashes, use_pallas, interpret
         )
-        return hashes.hi, hashes.lo, valid
+        return tuple(h.hi for h in hashes), tuple(h.lo for h in hashes), valid
 
-    hi, lo, valid = shard_map(
+    his, los, valid = shard_map(
         local,
         mesh=mesh,
         in_specs=(P(SEQ_AXIS),),
-        out_specs=(P(SEQ_AXIS), P(SEQ_AXIS), P(SEQ_AXIS)),
+        out_specs=(
+            tuple(P(SEQ_AXIS) for _ in range(num_hashes)),
+            tuple(P(SEQ_AXIS) for _ in range(num_hashes)),
+            P(SEQ_AXIS),
+        ),
         check_vma=False,
     )(codes)
-    return U64(hi, lo), valid
+    return [U64(h, lo) for h, lo in zip(his, los)], valid
 
 
 @partial(
@@ -166,9 +178,10 @@ def hash_long_sequence_seeds(
     """Spaced-seed hash of every window of a device-sharded long sequence.
 
     Same halo + pseudo-read scheme as :func:`hash_long_sequence` (the
-    spaced-seed hash is also position-decomposable). Returns (hashes U64
-    [L, S*H] sharded over seq, valid [L]): entry w is the window starting
-    at w; the trailing k-1 off-end entries are masked invalid.
+    spaced-seed hash is also position-decomposable). Returns (list of
+    S*H U64 with [L] arrays sharded over seq, in reference hash_arr
+    order, valid [L]): entry w is the window starting at w; the trailing
+    k-1 off-end entries are masked invalid.
     """
     n = mesh.shape[SEQ_AXIS]
     k = len(seeds[0])
@@ -189,20 +202,26 @@ def hash_long_sequence_seeds(
             res = hash_seeds_tm(
                 tm, seeds, num_hashes_per_seed, interpret=interpret
             )
-            hi = jnp.stack([h.hi.T[:rows] for h in res], -1).reshape(-1, nout)
-            lo = jnp.stack([h.lo.T[:rows] for h in res], -1).reshape(-1, nout)
+            his = tuple(h.hi.T[:rows].reshape(-1) for h in res)
+            los = tuple(h.lo.T[:rows].reshape(-1) for h in res)
         else:
             res = hash_kmers_seeds(pseudo, seeds, num_hashes_per_seed)
-            hi = res.hashes.hi.reshape(-1, nout)
-            lo = res.hashes.lo.reshape(-1, nout)
+            his = tuple(
+                res.hashes.hi[..., i].reshape(-1) for i in range(nout))
+            los = tuple(
+                res.hashes.lo[..., i].reshape(-1) for i in range(nout))
         valid = window_valid(pseudo.astype(jnp.int32), k).reshape(-1)
-        return hi, lo, valid
+        return his, los, valid
 
-    hi, lo, valid = shard_map(
+    his, los, valid = shard_map(
         local,
         mesh=mesh,
         in_specs=(P(SEQ_AXIS),),
-        out_specs=(P(SEQ_AXIS), P(SEQ_AXIS), P(SEQ_AXIS)),
+        out_specs=(
+            tuple(P(SEQ_AXIS) for _ in range(nout)),
+            tuple(P(SEQ_AXIS) for _ in range(nout)),
+            P(SEQ_AXIS),
+        ),
         check_vma=False,
     )(codes)
-    return U64(hi, lo), valid
+    return [U64(h, lo) for h, lo in zip(his, los)], valid

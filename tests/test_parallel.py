@@ -65,7 +65,7 @@ def test_sp_long_sequence(rng):
     res, valid = sp.hash_long_sequence(
         sp.shard_sequence(jnp.asarray(seq), mesh), k, h, mesh
     )
-    got = res.to_np()
+    got = np.stack([r.to_np() for r in res], axis=-1)  # [L, H]
     _, _, expect, v = oracle.hash_all_windows(seq, k, h)
     w = L - k + 1
     assert np.array_equal(got[:w], expect)
@@ -86,7 +86,8 @@ def test_sp_matches_dp_windows(rng):
 
     single = hash_kmers(jnp.asarray(seq), k, h)
     w = L - k + 1
-    assert np.array_equal(res.to_np()[:w], single.hashes.to_np())
+    got = np.stack([r.to_np() for r in res], axis=-1)
+    assert np.array_equal(got[:w], single.hashes.to_np())
 
 
 def test_sketch_query_counts(rng):
@@ -122,7 +123,7 @@ def test_sp_seeds_long_sequence(rng):
     seq = rng.integers(0, 5, size=(L,), dtype=np.uint8)
     sharded = sp.shard_sequence(jnp.asarray(seq), mesh)
     hashes, valid = sp.hash_long_sequence_seeds(sharded, seeds, 2, mesh)
-    got = hashes.to_np()
+    got = np.stack([h.to_np() for h in hashes], axis=-1)  # [L, S*H]
     _, _, expect = oracle.hash_all_windows_seeds(seq, seeds, 2)
     ov = oracle.window_valid(seq, k)
     w = L - k + 1
