@@ -225,18 +225,19 @@ def main():
     from nthash_tpu.parallel.mesh import device_mesh
 
     mesh = device_mesh()
-    Bdp = 65536
-    codes_dp = dp.shard_reads(jnp.asarray(codes[:Bdp]), mesh)
+    # full batch: the DP step carries ~10 ms/call fixed overhead (grid
+    # ramp + dispatch), so small batches understate steady-state rate
+    Bdp = B
+    codes_dp = dp.shard_reads(jnp.asarray(codes), mesh)
     sk_dp0 = cms.CountMinSketch.zeros(2, COUNT_WIDTH_LOG2)
     hashes_dp, valid_dp, sk_dp = dp.hash_and_sketch(
         codes_dp, sk_dp0, k, 2, COUNT_WIDTH_LOG2, mesh, "pallas",
         time_major=True,
     )
-    got_dp = to_u64(
-        jax.tree_util.tree_map(lambda x: x[:, :GATE_READS], hashes_dp)
-    )  # [W, GATE, 2]
-    if not (np.array_equal(got_dp[:, :, 0].T, exp_h[:, :, 0])
-            and np.array_equal(got_dp[:, :, 1].T, exp_h[:, :, 1])
+    got_dp = [to_u64(jax.tree_util.tree_map(
+        lambda x: x[:, :GATE_READS], h_)) for h_ in hashes_dp]  # 2x [W, GATE]
+    if not (np.array_equal(got_dp[0].T, exp_h[:, :, 0])
+            and np.array_equal(got_dp[1].T, exp_h[:, :, 1])
             and np.array_equal(
                 np.asarray(valid_dp)[:, :GATE_READS].T, exp_v)):
         fail("DP_PALLAS_PARITY_FAILURE")
@@ -246,7 +247,7 @@ def main():
         h_, v_, sk_ = dp.hash_and_sketch(
             c, s, k, 2, COUNT_WIDTH_LOG2, mesh, "pallas", time_major=True
         )
-        return h_.hi[0, ::4096, 0], sk_.rows[0, ::4096]
+        return h_[0].hi[0, ::4096], sk_.rows[0, ::4096]
 
     dp_kmers = Bdp * W / measure(jax.jit(dp_fn), codes_dp, sk_dp0, n=8)
 
@@ -340,7 +341,7 @@ def main():
     ))
     # one-batch warm-up so the stream isn't charged for compiles
     from nthash_tpu.constants import ASCII_TO_CODE
-    warm_codes = ASCII_TO_CODE[np.ascontiguousarray(seqs[: 1 << 18])]
+    warm_codes = ASCII_TO_CODE[np.ascontiguousarray(seqs[: 1 << 20])]
     pipe.sketch = dp.fused_count(
         dp.shard_reads(jnp.asarray(warm_codes), pipe.mesh),
         pipe.sketch, k, pipe.mesh,
@@ -350,7 +351,7 @@ def main():
     pipe.sketch = cms.CountMinSketch.zeros(COUNT_ROWS, COUNT_WIDTH_LOG2)
 
     t0 = time.perf_counter()
-    streamed = pipe.count_file(stream_path, batch_size=1 << 18, read_length=L)
+    streamed = pipe.count_file(stream_path, batch_size=1 << 20, read_length=L)
     np.asarray(pipe.sketch.rows[0, :1])
     stream_dt = time.perf_counter() - t0
     total_kmers = int(np.asarray(pipe.sketch.rows[0]).astype(np.int64).sum())
@@ -362,7 +363,7 @@ def main():
     t0 = time.perf_counter()
     from nthash_tpu.io.stream import stream_code_batches
     parsed = sum(
-        n for _, n in stream_code_batches(stream_path, 1 << 18, L))
+        n for _, n in stream_code_batches(stream_path, 1 << 20, L))
     parse_dt = time.perf_counter() - t0
     assert parsed == STREAM_READS
     h2d_bytes = STREAM_READS * L

@@ -125,38 +125,64 @@ def _bitonic_sort(x: jnp.ndarray, rows: int) -> jnp.ndarray:
     return x
 
 
-def _sort_kernel(in_ref, out_ref, *, rows: int):
-    out_ref[0, 0] = _bitonic_sort(in_ref[0, 0], rows)
+def _sort_kernel(in_ref, out_ref, fb_ref, *, rows: int, sub_log2: int,
+                 p_pad: int):
+    srt = _bitonic_sort(in_ref[0, 0], rows)
+    out_ref[0, 0] = srt
+    # partition start rows, fused here while the sorted chunk is still in
+    # registers: fb[p] = #rows whose last (maximal) element is < p*sub
+    lastq = srt[:, LANES - 1 :] >> sub_log2              # (rows, 1)
+    pids = jax.lax.broadcasted_iota(jnp.int32, (rows, p_pad), 1)
+    fb_ref[0, 0, 0] = jnp.sum(
+        (lastq < pids).astype(jnp.int32), axis=0
+    )
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def sort_chunks(idx: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:
-    """Sort each (rows, LANES) chunk of [R, G, rows, LANES] ascending."""
+@partial(jax.jit, static_argnames=("sub_log2", "p_log2", "interpret"))
+def sort_chunks(idx: jnp.ndarray, sub_log2: int, p_log2: int = 0,
+                *, interpret: bool = False):
+    """Sort each (rows, LANES) chunk of [R, G, rows, LANES] ascending and
+    emit each chunk's partition start-row table (full_below) in the same
+    kernel — the sorted data never round-trips HBM for the boundary scan.
+
+    Returns (sorted [R, G, rows, LANES], full_below [R, G, p_pad] int32)
+    with p_pad = max(128, P) lanes (entries past P are meaningless).
+    """
     r, g, rows, lanes = idx.shape
     assert lanes == LANES and rows & (rows - 1) == 0
+    p_pad = max(LANES, 1 << p_log2)
     return pl.pallas_call(
-        partial(_sort_kernel, rows=rows),
+        partial(_sort_kernel, rows=rows, sub_log2=sub_log2, p_pad=p_pad),
         grid=(r, g),
         in_specs=[
             pl.BlockSpec((1, 1, rows, LANES), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM)
         ],
-        out_specs=pl.BlockSpec((1, 1, rows, LANES), lambda i, j: (i, j, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((r, g, rows, LANES), jnp.int32),
+        out_specs=(
+            pl.BlockSpec((1, 1, rows, LANES), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, p_pad), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r, g, rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((r, g, 1, p_pad), jnp.int32),
+        ),
         interpret=interpret,
     )(idx)
 
 
 def _window_kernel(fb_ref, sorted_ref, out_ref, *, p: int, sub_log2: int,
-                   rows: int):
+                   rows: int, cg: int):
     """Copy each partition's 3-row window, localized to [0, sub) (elements
     of neighboring partitions / sentinels land outside and are dropped by
-    the sub-histogram's one-hot for free)."""
-    for pi in range(p):
-        start = jnp.minimum(fb_ref[0, 0, 0, pi], rows - CAP_ROWS)
-        win = sorted_ref[0, 0, pl.ds(start, CAP_ROWS), :]
-        out_ref[0, pi, 0] = win - jnp.int32(pi << sub_log2)
+    the sub-histogram's one-hot for free). ``cg`` chunks per grid step
+    amortize the per-step pipeline overhead (measured ~6 us/step)."""
+    for ci in range(cg):
+        for pi in range(p):
+            start = jnp.minimum(fb_ref[0, ci, 0, pi], rows - CAP_ROWS)
+            win = sorted_ref[0, ci, pl.ds(start, CAP_ROWS), :]
+            out_ref[0, pi, ci] = win - jnp.int32(pi << sub_log2)
 
 
 @partial(jax.jit, static_argnames=("p_log2", "sub_log2", "interpret"))
@@ -168,49 +194,50 @@ def partition_windows(
     *,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """[R, G, rows, LANES] sorted chunks + [R, G, P] first-row table ->
-    localized windows [R, P, G, CAP_ROWS, LANES] int32 (out-of-partition
-    entries fall outside [0, 2**sub_log2) and are dropped downstream)."""
+    """[R, G, rows, LANES] sorted chunks + [R, G, 1, >=P] first-row table
+    (both from :func:`sort_chunks`) -> localized windows
+    [R, P, G, CAP_ROWS, LANES] int32 (out-of-partition entries fall
+    outside [0, 2**sub_log2) and are dropped downstream)."""
     r, g, rows, _ = sorted_idx.shape
     p = 1 << p_log2
+    p_pad = full_below.shape[-1]
+    cg = next(c for c in (8, 4, 2, 1) if g % c == 0)
     return pl.pallas_call(
-        partial(_window_kernel, p=p, sub_log2=sub_log2, rows=rows),
-        grid=(r, g),
+        partial(_window_kernel, p=p, sub_log2=sub_log2, rows=rows, cg=cg),
+        grid=(r, g // cg),
         in_specs=[
-            # [R, G, 1, P] with a (1, 1, 1, P) SMEM block: the trailing
-            # unit dim keeps the last-two-dims == array-dims rule happy
-            pl.BlockSpec((1, 1, 1, p), lambda i, j: (i, j, 0, 0),
+            # (1, cg, 1, P) SMEM block: the trailing unit+lane dims keep
+            # the last-two-dims == array-dims rule happy
+            pl.BlockSpec((1, cg, 1, p_pad), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, rows, LANES), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, cg, rows, LANES), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, p, 1, CAP_ROWS, LANES), lambda i, j: (i, 0, j, 0, 0),
+            (1, p, cg, CAP_ROWS, LANES), lambda i, j: (i, 0, j, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((r, p, g, CAP_ROWS, LANES), jnp.int32),
         interpret=interpret,
-    )(full_below.reshape(r, g, 1, p), sorted_idx)
+    )(full_below, sorted_idx)
 
 
-def _boundaries(sorted_idx: jnp.ndarray, p_log2: int, sub_log2: int):
-    """Per-chunk partition start rows from sorted data.
+def check_overflow(fb: jnp.ndarray, p_log2: int, rows: int) -> jnp.ndarray:
+    """Window-coverage check from the kernel-emitted start-row table.
 
-    full_below[r, g, p] = number of sublane rows whose *last* (maximal)
-    element is < p * sub — i.e. the first row that can contain partition
-    p. Partition p's elements occupy rows [fb[p], fb[p+1]] inclusive, so
-    the fixed CAP_ROWS window is sufficient iff fb[p+1] - fb[p] + 1 <=
-    CAP_ROWS; ``overflow`` reports (conservatively, exactly detecting
-    every possible miss) whether any partition anywhere violates that.
+    fb[r, g, p] = number of sublane rows whose *last* (maximal) element is
+    < p * sub — the first row that can contain partition p. Partition p's
+    elements occupy rows [fb[p], fb[p+1]] inclusive, so the fixed
+    CAP_ROWS window is sufficient iff fb[p+1] - fb[p] + 1 <= CAP_ROWS;
+    the returned scalar reports (conservatively, exactly detecting every
+    possible miss) whether any partition anywhere violates that.
     """
-    last = sorted_idx[..., :, LANES - 1] >> sub_log2       # [R, G, rows]
     p = 1 << p_log2
-    pids = jnp.arange(p + 1, dtype=jnp.int32)
-    fb = jnp.sum(
-        last[..., None] < pids, axis=-2, dtype=jnp.int32
-    )                                                       # [R, G, P+1]
-    span = fb[..., 1:] - fb[..., :-1] + 1
-    return fb[..., :-1], jnp.any(span > CAP_ROWS)
+    fb = fb[..., :p]
+    end = jnp.concatenate(
+        [fb[..., 1:], jnp.full_like(fb[..., :1], rows)], axis=-1
+    )
+    return jnp.any(end - fb + 1 > CAP_ROWS)
 
 
 def _pad_chunks(idx: jnp.ndarray, width: int, chunk: int) -> jnp.ndarray:
@@ -253,8 +280,10 @@ def partitioned_histogram_rows(
     r = idx.shape[0]
     chunks = _pad_chunks(idx.reshape(r, -1), width, rows * LANES)
 
-    sorted_idx = sort_chunks(chunks, interpret=interpret)
-    fb, overflow = _boundaries(sorted_idx, p_log2, sub_log2)
+    sorted_idx, fb = sort_chunks(
+        chunks, sub_log2, p_log2, interpret=interpret
+    )
+    overflow = check_overflow(fb, p_log2, rows)
     wins = partition_windows(
         sorted_idx, fb, p_log2, sub_log2, interpret=interpret
     )
@@ -310,8 +339,10 @@ def partitioned_bloom_words(
     width = 1 << width_log2
     chunks = _pad_chunks(idx.reshape(1, -1), width, rows * LANES)
 
-    sorted_idx = sort_chunks(chunks, interpret=interpret)
-    fb, overflow = _boundaries(sorted_idx, p_log2, sub_log2)
+    sorted_idx, fb = sort_chunks(
+        chunks, sub_log2, p_log2, interpret=interpret
+    )
+    overflow = check_overflow(fb, p_log2, rows)
     wins = partition_windows(
         sorted_idx, fb, p_log2, sub_log2, interpret=interpret
     )

@@ -34,7 +34,9 @@ from .constants import (
 def _codes(seq) -> np.ndarray:
     if isinstance(seq, (str, bytes, bytearray)):
         return encode_ascii(seq)
-    return np.asarray(seq, dtype=np.uint8)
+    # any code > 4 is "invalid base", same as the device engines
+    # (ops/kmer_jnp.hash_kmers, ops/kmer_pallas.prepare_codes clamp too)
+    return np.minimum(np.asarray(seq, dtype=np.uint8), 4)
 
 
 def forward_hash(seq, k: int | None = None) -> int:

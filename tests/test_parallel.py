@@ -199,6 +199,7 @@ def test_dp_time_major_matches_batch_major(rng, mesh):
     ht, vt, st = dp.hash_and_sketch(
         sharded, sk0, k, h, wlog, mesh, "jnp", time_major=True
     )
-    assert np.array_equal(ht.to_np(), hb.to_np().transpose(1, 0, 2))
+    got = np.stack([x.to_np() for x in ht], axis=-1)  # [W, B, H]
+    assert np.array_equal(got, hb.to_np().transpose(1, 0, 2))
     assert np.array_equal(np.asarray(vt), np.asarray(vb).T)
     assert np.array_equal(np.asarray(st.rows), np.asarray(sb.rows))

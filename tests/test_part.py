@@ -32,10 +32,21 @@ def test_plan_ranges():
 
 
 def test_sort_chunks_exact(rng):
-    x = rng.integers(0, 1 << 19, size=(2, 2, 8, pp.LANES), dtype=np.int32)
-    out = np.asarray(pp.sort_chunks(jnp.asarray(x), interpret=True))
+    wlog = 19
+    p_log2, sub_log2, _ = pp.plan(wlog)
+    x = rng.integers(0, 1 << wlog, size=(2, 2, 8, pp.LANES), dtype=np.int32)
+    srt, fb = pp.sort_chunks(
+        jnp.asarray(x), sub_log2, p_log2, interpret=True
+    )
     exp = np.sort(x.reshape(2, 2, -1), axis=-1).reshape(x.shape)
-    assert np.array_equal(out, exp)
+    assert np.array_equal(np.asarray(srt), exp)
+    # fused boundary table: fb[p] = #rows fully below p * sub
+    lastq = exp[..., :, pp.LANES - 1] >> sub_log2
+    for ri in range(2):
+        for gi in range(2):
+            for pi in range(1 << p_log2):
+                assert np.asarray(fb)[ri, gi, 0, pi] == int(
+                    (lastq[ri, gi] < pi).sum())
 
 
 def test_windows_cover_all_partitions(rng):
@@ -48,8 +59,8 @@ def test_windows_cover_all_partitions(rng):
     r, g = 2, 3
     idx = rng.integers(0, width, size=(r, g * rows * pp.LANES), dtype=np.int32)
     chunks = pp._pad_chunks(jnp.asarray(idx), width, rows * pp.LANES)
-    sorted_idx = pp.sort_chunks(chunks, interpret=True)
-    fb, overflow = pp._boundaries(sorted_idx, p_log2, sub_log2)
+    sorted_idx, fb = pp.sort_chunks(chunks, sub_log2, p_log2, interpret=True)
+    overflow = pp.check_overflow(fb, p_log2, rows)
     wins = np.asarray(pp.partition_windows(
         sorted_idx, fb, p_log2, sub_log2, interpret=True
     ))
@@ -70,9 +81,8 @@ def test_overflow_detected_on_skew(rng):
     rows = 8
     idx = jnp.full((1, 4 * rows * pp.LANES), 7, jnp.int32)
     chunks = pp._pad_chunks(idx, 1 << width_log2, rows * pp.LANES)
-    sorted_idx = pp.sort_chunks(chunks, interpret=True)
-    _, overflow = pp._boundaries(sorted_idx, p_log2, sub_log2)
-    assert bool(overflow)
+    _, fb = pp.sort_chunks(chunks, sub_log2, p_log2, interpret=True)
+    assert bool(pp.check_overflow(fb, p_log2, rows))
 
 
 @pytest.mark.slow
@@ -112,3 +122,39 @@ def test_partitioned_bloom_words(rng):
     for b in idx[idx < width]:
         exp[word_index(b)] |= np.uint32(1) << np.uint32(bit_index(b))
     assert np.array_equal(words, exp)
+
+
+def test_sketch_resolve_ingestion_ranges(monkeypatch):
+    import jax
+
+    from nthash_tpu.models import sketch as cms
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert cms.resolve_ingestion("auto", 14) == "mxu"
+    assert cms.resolve_ingestion("auto", 18) == "mxu"
+    assert cms.resolve_ingestion("auto", 19) == "partitioned"
+    assert cms.resolve_ingestion("auto", 23) == "partitioned"
+    assert cms.resolve_ingestion("auto", 24) == "scatter"
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert cms.resolve_ingestion("auto", 20) == "scatter"
+    with pytest.raises(ValueError):
+        cms.resolve_ingestion("bogus", 20)
+
+
+@pytest.mark.slow
+def test_sketch_update_partitioned_matches_scatter(rng):
+    """update(ingestion='partitioned') == update(ingestion='scatter') at a
+    wide width, including invalid-window masking."""
+    import jax.numpy as jnp
+
+    from nthash_tpu.models import sketch as cms
+    from nthash_tpu.u64 import U64
+
+    wlog, rows, n = 19, 2, 600
+    vals = rng.integers(0, 1 << 32, size=(n, rows), dtype=np.uint32)
+    hashes = U64(jnp.zeros((n, rows), jnp.uint32), jnp.asarray(vals))
+    valid = jnp.asarray(rng.integers(0, 2, size=(n,), dtype=np.int32) > 0)
+    sk0 = cms.CountMinSketch.zeros(rows, wlog)
+    a = cms.update(sk0, hashes, valid, wlog, ingestion="partitioned")
+    b = cms.update(sk0, hashes, valid, wlog, ingestion="scatter")
+    assert np.array_equal(np.asarray(a.rows), np.asarray(b.rows))
