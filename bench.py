@@ -407,6 +407,10 @@ def main():
         "stream_file_gb": round(file_bytes / 1e9, 2),
         "stream_bottleneck": "h2d_tunnel (~0.03 GB/s axon tunnel; real TPU "
                              "hosts stream PCIe at >=10 GB/s)",
+        "env_note": "absolute rates drift with chip/tunnel state: the "
+                    "identical round-2 commit measured h1=1.13e10 then "
+                    "and 9.0e9 when re-run alongside round 3 (same "
+                    "method, same code) — compare metrics within a run",
         "parity": "bit-exact (full arrays vs host oracle, 1024-read slice: "
                   "kmer h+fwd+rev, 2-seed spaced, fused counts 2^14+2^20, "
                   "bloom words 2^17+2^20, DP time-major + fused, SP slices "
