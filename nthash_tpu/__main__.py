@@ -41,6 +41,19 @@ def _cmd_count(args) -> int:
     import time
 
     t0 = time.time()
+    if args.fused:
+        # production path: bucket emission in-kernel, MXU histograms,
+        # parse thread overlapping device work; no 64-bit hash in HBM
+        reads = pipe.count_file(args.file, batch_size=args.batch_size)
+        import numpy as np
+
+        total = int(
+            np.asarray(pipe.sketch.rows[0]).astype(np.int64).sum())
+        dt = time.time() - t0
+        print(f"{reads} reads, {total} valid {args.k}-mers in {dt:.2f}s "
+              f"({reads / max(dt, 1e-9):.3g} reads/s) on "
+              f"{pipe.mesh.devices.size} device(s)")
+        return 0
     total = pipe.run_file(args.file, batch_size=args.batch_size)
     dt = time.time() - t0
     print(f"{total} valid {args.k}-mers in {dt:.2f}s "
@@ -68,6 +81,8 @@ def main(argv=None) -> int:
     pc.add_argument("-n", "--num-hashes", type=int, default=4)
     pc.add_argument("--width-log2", type=int, default=20)
     pc.add_argument("--batch-size", type=int, default=65536)
+    pc.add_argument("--fused", action="store_true",
+                    help="fused hash->count path (sketch only, fastest)")
     pc.set_defaults(fn=_cmd_count)
 
     args = p.parse_args(argv)

@@ -109,30 +109,75 @@ class ReadHashingPipeline:
         return int(np.sum([np.asarray(c) for c in counts], dtype=np.int64))
 
     def count_file(self, path, batch_size: int = 1 << 18,
-                   read_length: int | None = None, prefetch: int = 2):
+                   read_length: int | None = None, prefetch: int = 2,
+                   checkpoint_path=None, checkpoint_every: int = 0):
         """Stream a file through the *fused* hash->count pipeline (bucket
         emission in-kernel, MXU histogram; no 64-bit hash reaches HBM) —
         the production streaming configuration (BASELINE config 5).
 
         Same overlap structure as :meth:`run_file`; every batch has a
         fixed shape so the distributed step compiles exactly once.
-        Returns (reads_streamed, updated sketch is self.sketch).
+
+        ``checkpoint_path`` + ``checkpoint_every`` (batches) enable
+        crash recovery: the sketch and stream position persist via
+        utils.checkpoint (FN_NAME-tagged), and a rerun with the same
+        path/batch_size resumes after the last completed checkpoint —
+        batching is deterministic, so the resumed sketch is bit-identical
+        to an uninterrupted run. The reference's analogue is that its
+        iterator state (pos, fwd, rev) is resumable by construction
+        (reference nthash.hpp:72-78); here the carried state is the
+        sketch plus the batch cursor.
+
+        Returns (reads_streamed including any resumed prefix).
         """
         from ..io.stream import Prefetcher, stream_code_batches
         from ..parallel import dp
+        from ..utils import checkpoint
 
         batch_size += (-batch_size) % self.mesh.devices.size
         cfg = self.config
         total = 0
+        done_batches = 0
+        if checkpoint_path is not None:
+            from pathlib import Path
+
+            if Path(checkpoint_path).exists():
+                state = checkpoint.load(checkpoint_path, {
+                    "rows": self.sketch.rows,
+                    "reads": np.int64(0),
+                    "batches": np.int64(0),
+                })
+                self.sketch = cms.CountMinSketch(jnp.asarray(state["rows"]))
+                total = int(state["reads"])
+                done_batches = int(state["batches"])
+
+        seen = 0
         for batch, n in Prefetcher(
             stream_code_batches(path, batch_size, read_length),
             depth=prefetch,
         ):
+            seen += 1
+            if seen <= done_batches:
+                continue  # already counted before the checkpoint
             codes = dp.shard_reads(jnp.asarray(batch), self.mesh)
             self.sketch = dp.fused_count(
                 codes, self.sketch, cfg.k, self.mesh,
                 interpret=jax.default_backend() != "tpu",
             )
             total += n
+            if (checkpoint_path is not None and checkpoint_every
+                    and (seen - done_batches) % checkpoint_every == 0):
+                jax.block_until_ready(self.sketch.rows)
+                checkpoint.save(checkpoint_path, {
+                    "rows": self.sketch.rows,
+                    "reads": np.int64(total),
+                    "batches": np.int64(seen),
+                })
         jax.block_until_ready(self.sketch.rows)
+        if checkpoint_path is not None:
+            checkpoint.save(checkpoint_path, {
+                "rows": self.sketch.rows,
+                "reads": np.int64(total),
+                "batches": np.int64(seen),
+            })
         return total

@@ -40,3 +40,12 @@ def test_count(tmp_path, capsys):
 
 def test_count_missing_file(capsys):
     assert main(["count", "/nonexistent.fa"]) == 1
+
+
+def test_count_fused(tmp_path, capsys):
+    fa = tmp_path / "toy.fa"
+    fa.write_text(">r1\nACGTACGTACGTACGT\n>r2\nACGTNNACGTACGTAC\n")
+    assert main(["count", str(fa), "-k", "4", "--batch-size", "8",
+                 "--width-log2", "12", "--fused"]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("2 reads, 21 valid 4-mers")

@@ -102,3 +102,46 @@ def test_pipeline_count_file_fused(fastq):
     nvalid = int(np.asarray(ref.valid).sum())
     for r in range(2):
         assert int(pipe.sketch.rows[r].sum()) == nvalid
+
+
+def test_count_file_checkpoint_resume(fastq, tmp_path):
+    """Resuming from a mid-stream checkpoint == an uninterrupted run,
+    bit-identically (deterministic batching; sketch + batch cursor
+    persist via utils.checkpoint)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nthash_tpu.io.stream import stream_code_batches
+    from nthash_tpu.models.pipeline import PipelineConfig, ReadHashingPipeline
+    from nthash_tpu.parallel import dp
+    from nthash_tpu.utils import checkpoint
+
+    path, seqs, n, L = fastq
+    cfg = dict(k=9, num_hashes=2, sketch_width_log2=12, n_devices=1)
+
+    ref = ReadHashingPipeline(PipelineConfig(**cfg))
+    total_ref = ref.count_file(path, batch_size=128, read_length=L)
+
+    # simulate a run that crashed after checkpointing 2 completed batches
+    crashed = ReadHashingPipeline(PipelineConfig(**cfg))
+    reads_done = 0
+    for i, (batch, m) in enumerate(stream_code_batches(path, 128, L)):
+        if i == 2:
+            break
+        codes = dp.shard_reads(jnp.asarray(batch), crashed.mesh)
+        crashed.sketch = dp.fused_count(
+            codes, crashed.sketch, 9, crashed.mesh,
+            interpret=jax.default_backend() != "tpu")
+        reads_done += m
+    ckpt = tmp_path / "stream.ckpt.npz"
+    checkpoint.save(ckpt, {"rows": crashed.sketch.rows,
+                           "reads": np.int64(reads_done),
+                           "batches": np.int64(2)})
+
+    # a fresh pipeline resumes from the checkpoint and finishes the file
+    resumed = ReadHashingPipeline(PipelineConfig(**cfg))
+    total = resumed.count_file(path, batch_size=128, read_length=L,
+                               checkpoint_path=ckpt)
+    assert total == total_ref == n
+    assert np.array_equal(np.asarray(resumed.sketch.rows),
+                          np.asarray(ref.sketch.rows))
