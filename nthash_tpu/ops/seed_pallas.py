@@ -442,6 +442,32 @@ def hash_seeds_tm_long(
     ]
 
 
+def hash_seeds_tm_auto(
+    codes_tm: jnp.ndarray,
+    seeds: tuple[str, ...],
+    num_hashes_per_seed: int = 1,
+    **kwargs,
+):
+    """hash_seeds_tm that auto-selects the time-tiled long-read kernel
+    when the whole-read kernel would exceed its VMEM budget."""
+    from .kmer_pallas import long_read_threshold
+
+    length, reads = codes_tm.shape
+    k = len(seeds[0])
+    w = length - k + 1
+    per_seed = num_hashes_per_seed + (2 if kwargs.get("emit_fwd_rev") else 0)
+    nout = len(seeds) * per_seed
+    out_arrays = (
+        nout if kwargs.get("emit_buckets") is not None else 2 * nout
+    )
+    if long_read_threshold(length, w, out_arrays, reads):
+        kwargs.pop("interleave", None)
+        return hash_seeds_tm_long(
+            codes_tm, seeds, num_hashes_per_seed, **kwargs
+        )
+    return hash_seeds_tm(codes_tm, seeds, num_hashes_per_seed, **kwargs)
+
+
 def hash_seeds_batch(
     codes: jnp.ndarray,
     seeds: Sequence[str],
@@ -454,7 +480,7 @@ def hash_seeds_batch(
     valid [B, W]). Matches ops.seed_jnp.hash_kmers_seeds hash layout."""
     b, _ = codes.shape
     tm = prepare_codes(codes, interleave or 1)
-    res = hash_seeds_tm(
+    res = hash_seeds_tm_auto(
         tm, tuple(seeds), num_hashes_per_seed,
         interleave=interleave, interpret=interpret,
     )
