@@ -12,11 +12,12 @@ Insertion is a scatter-OR, which TPUs lack; three ingestion paths provide it:
   VMEM, packed to words in-kernel, OR'd into the filter. HBM traffic is
   1 bit per bucket end to end. Widths up to 2^18.
 - "partitioned": ops.part_pallas.partitioned_bloom_words — sort-partitioned
-  MXU presence for genome-scale widths 2^19..2^23; still 1 bit/bucket in
-  HBM (presence tiles live only in VMEM).
+  MXU presence for genome-scale widths 2^19..2^29 (the multi-gigabit
+  filters btllib actually builds); still 1 bit/bucket in HBM (presence
+  tiles live only in VMEM).
 - "scatter": XLA scatter-max into a transient int8 presence array (1
   byte/bucket — never the 4-byte int32 of round 1), then packed. Portable
-  fallback for non-TPU backends and widths above 2^23.
+  fallback for non-TPU backends and widths above 2^29.
 
 Both use the same bucket -> (word, bit) bijection (hist_pallas.word_index /
 bit_index), chosen so the kernel packs 32 *sublanes* into a word without
@@ -40,7 +41,7 @@ from ..ops.hist_pallas import (
     word_index,
 )
 from ..ops.part_pallas import (
-    PART_MAX_WIDTH_LOG2,
+    BLOOM_PART_MAX_WIDTH_LOG2,
     partitioned_bloom_words,
 )
 from ..u64 import U64
@@ -98,7 +99,7 @@ def insert(bf: BloomFilter, hashes: U64, valid: jnp.ndarray,
             ingestion = "scatter"
         elif width_log2 <= MXU_MAX_WIDTH_LOG2:
             ingestion = "mxu"
-        elif width_log2 <= PART_MAX_WIDTH_LOG2:
+        elif width_log2 <= BLOOM_PART_MAX_WIDTH_LOG2:
             ingestion = "partitioned"
         else:
             ingestion = "scatter"
@@ -146,7 +147,7 @@ def insert_from_buckets(
     idx = jnp.concatenate([b.reshape(-1) for b in buckets])
     if width_log2 <= MXU_MAX_WIDTH_LOG2:
         new = mxu_bloom_words(idx, None, width_log2, interpret=interpret)
-    elif width_log2 <= PART_MAX_WIDTH_LOG2:
+    elif width_log2 <= BLOOM_PART_MAX_WIDTH_LOG2:
         new = partitioned_bloom_words(idx, width_log2, interpret=interpret)
     else:
         presence = (

@@ -62,8 +62,9 @@ def buckets(hashes: U64, width_log2: int) -> jnp.ndarray:
 def resolve_ingestion(ingestion: str, width_log2: int) -> str:
     """'auto' -> on TPU, the direct MXU histogram below its crossover
     width and the sort-partitioned MXU histogram at genome-scale widths
-    2^19..2^23 (measured ~2-3 ns/update vs ~8 ns scatter, docs/design.md
-    §7); scatter elsewhere."""
+    2^19..2^30 (measured ~2-3 ns/update at 2^19-2^23 vs ~8 ns scatter,
+    docs/design.md §7; wider widths use bigger sort chunks); scatter
+    elsewhere."""
     if ingestion == "auto":
         if jax.default_backend() != "tpu":
             return "scatter"
@@ -181,6 +182,24 @@ def query(sketch: CountMinSketch, hashes: U64, width_log2: int) -> jnp.ndarray:
         jnp.take(sketch.rows[r], idx[..., r], axis=0) for r in range(num_rows)
     ]
     return jnp.min(jnp.stack(per_row, axis=-1), axis=-1)
+
+
+def query_rows(sketch: CountMinSketch, hashes, width_log2: int) -> jnp.ndarray:
+    """Count-min estimate for the time-major layout: ``hashes`` is a list
+    of ``num_rows`` U64 (any common shape, e.g. [W, B]); returns estimates
+    of that shape. Same math as :func:`query` without the stacked layout's
+    128x lane padding (see parallel/sp.py on why [..., H] stacks are
+    hostile on TPU)."""
+    num_rows = sketch.rows.shape[0]
+    if len(hashes) != num_rows:
+        raise ValueError(
+            f"got {len(hashes)} hash arrays for {num_rows} sketch rows"
+        )
+    est = None
+    for r, h in enumerate(hashes):
+        got = jnp.take(sketch.rows[r], buckets(h, width_log2), axis=0)
+        est = got if est is None else jnp.minimum(est, got)
+    return est
 
 
 def merge(a: CountMinSketch, b: CountMinSketch) -> CountMinSketch:

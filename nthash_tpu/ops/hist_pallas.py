@@ -61,8 +61,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 LO = 128        # lane-dim digit: bucket % 128
 CHUNK = 8192    # updates per one-hot matmul (contraction length)
-GSUB = 8        # chunks ingested per grid step (block sublane dim: Mosaic
-                # requires the 2nd-minor block dim be a multiple of 8)
+GSUB = 8        # chunks ingested per grid step when rows are long (block
+                # sublane dim: Mosaic requires the 2nd-minor block dim be
+                # a multiple of 8 — or equal to the whole array dim, which
+                # is how short rows avoid padding to 8 chunks; see _prep)
+GSUB_MAX_WHOLE = 64  # rows up to this many chunks run in ONE grid step
+                     # (block == array dim): the partitioned huge-width
+                     # path has 16K+ short rows, and padding each to
+                     # CHUNK*GSUB would cost GBs of HBM for padding alone
 HI_TILE = 512   # max sublane-dim tile of the count matrix per grid step
 PACK = 32       # bits per packed Bloom word
 
@@ -114,7 +120,7 @@ def _onehot_counts(idx, w, hi_tile: int, hi_base, planes: int):
     return acc
 
 
-def _hist_kernel(*refs, hi_tile: int, planes: int, has_w: bool):
+def _hist_kernel(*refs, hi_tile: int, planes: int, has_w: bool, gsub: int):
     """grid = (rows, hi_tiles, chunks); out block [1, hi_tile, LO] stays
     resident in VMEM across the chunk dimension (innermost grid dim)."""
     if has_w:
@@ -128,7 +134,7 @@ def _hist_kernel(*refs, hi_tile: int, planes: int, has_w: bool):
 
     hi_base = pl.program_id(1) * hi_tile
     total = None
-    for j in range(GSUB):
+    for j in range(gsub):
         c = _onehot_counts(
             idx_ref[0, j : j + 1],
             None if w_ref is None else w_ref[0, j : j + 1],
@@ -138,7 +144,8 @@ def _hist_kernel(*refs, hi_tile: int, planes: int, has_w: bool):
     out_ref[0] += total
 
 
-def _bloom_kernel(idx_ref, out_ref, acc_ref, *, hi_tile: int, nchunks: int):
+def _bloom_kernel(idx_ref, out_ref, acc_ref, *, hi_tile: int, nchunks: int,
+                  gsub: int):
     """Presence accumulation in VMEM scratch; last chunk packs 32 sublanes
     per lane into one uint32 word (bit b of word [q, j] = bucket presence at
     hi = 32q + b, lo = j — see word_index/bit_index for the bijection)."""
@@ -148,7 +155,7 @@ def _bloom_kernel(idx_ref, out_ref, acc_ref, *, hi_tile: int, nchunks: int):
 
     hi_base = pl.program_id(0) * hi_tile
     total = None
-    for j in range(GSUB):
+    for j in range(gsub):
         c = _onehot_counts(idx_ref[0, j : j + 1], None, hi_tile, hi_base, 1)
         total = c if total is None else total + c
     acc_ref[:] += total
@@ -169,7 +176,12 @@ def _bloom_kernel(idx_ref, out_ref, acc_ref, *, hi_tile: int, nchunks: int):
 
 def _prep(idx: jnp.ndarray, weight: jnp.ndarray | None, width_log2: int):
     """Flatten rows, clamp-pad, and pick grid/tiling. Returns
-    (idx [R, G, CHUNK], w [R, G, CHUNK], rows, g, hi, hi_tile).
+    (idx [R, G, CHUNK], w [R, G, CHUNK], rows, g, gsub, hi, hi_tile)
+    where ``gsub`` is the chunks-per-grid-step block: rows of up to
+    GSUB_MAX_WHOLE chunks run whole (block dim == array dim, no group
+    padding — many-short-row callers like the partitioned huge widths
+    would otherwise pay GBs of padding); longer rows pad to a multiple of
+    GSUB chunks.
 
     Updates stay on the minor (lane) dimension end to end — see the module
     docstring for why a trailing unit dim is catastrophic here.
@@ -181,19 +193,22 @@ def _prep(idx: jnp.ndarray, weight: jnp.ndarray | None, width_log2: int):
         weight = jnp.broadcast_to(
             weight.astype(jnp.int32).reshape(-1, n), (rows, n)
         )
-    pad = (-n) % (CHUNK * GSUB)
+    g0 = max(1, -(-n // CHUNK))
+    quantum = CHUNK * (1 if g0 <= GSUB_MAX_WHOLE else GSUB)
+    pad = (-n) % quantum
     if pad:
         # padded entries: idx = -1 matches no one-hot column => dropped
         idx = jnp.pad(idx, ((0, 0), (0, pad)), constant_values=-1)
         if weight is not None:
             weight = jnp.pad(weight, ((0, 0), (0, pad)))
     g = (n + pad) // CHUNK
+    gsub = g if g <= GSUB_MAX_WHOLE else GSUB
     hi = (1 << width_log2) // LO
     hi_tile = min(hi, HI_TILE)
     return (
         idx.reshape(rows, g, CHUNK),
         None if weight is None else weight.reshape(rows, g, CHUNK),
-        rows, g, hi, hi_tile,
+        rows, g, gsub, hi, hi_tile,
     )
 
 
@@ -226,15 +241,15 @@ def mxu_histogram_rows(
     if not 10 <= width_log2 <= 26:
         raise ValueError(f"width_log2 ({width_log2}) must be in [10, 26]")
     planes = _planes(weight_bits)
-    idxb, wb, rows, g, hi, hi_tile = _prep(idx, weight, width_log2)
+    idxb, wb, rows, g, gsub, hi, hi_tile = _prep(idx, weight, width_log2)
 
-    spec = pl.BlockSpec((1, GSUB, CHUNK), lambda r, h, i: (r, i, 0),
+    spec = pl.BlockSpec((1, gsub, CHUNK), lambda r, h, i: (r, i, 0),
                         memory_space=pltpu.VMEM)
     operands = (idxb,) if wb is None else (idxb, wb)
     counts = pl.pallas_call(
         partial(_hist_kernel, hi_tile=hi_tile, planes=planes,
-                has_w=wb is not None),
-        grid=(rows, hi // hi_tile, g // GSUB),
+                has_w=wb is not None, gsub=gsub),
+        grid=(rows, hi // hi_tile, g // gsub),
         in_specs=[spec] * len(operands),
         out_specs=pl.BlockSpec((1, hi_tile, LO), lambda r, h, i: (r, h, 0),
                                memory_space=pltpu.VMEM),
@@ -269,7 +284,7 @@ def mxu_histogram(
 
 
 def _bloom_rows_kernel(idx_ref, out_ref, acc_ref, *, hi_tile: int,
-                       nchunks: int):
+                       nchunks: int, gsub: int):
     """Rows variant of _bloom_kernel: grid = (rows, hi_tiles, chunks)."""
     @pl.when(pl.program_id(2) == 0)
     def _init():
@@ -277,7 +292,7 @@ def _bloom_rows_kernel(idx_ref, out_ref, acc_ref, *, hi_tile: int,
 
     hi_base = pl.program_id(1) * hi_tile
     total = None
-    for j in range(GSUB):
+    for j in range(gsub):
         c = _onehot_counts(idx_ref[0, j : j + 1], None, hi_tile, hi_base, 1)
         total = c if total is None else total + c
     acc_ref[:] += total
@@ -309,13 +324,14 @@ def mxu_bloom_words_rows(
     """
     if not 12 <= width_log2 <= 26:
         raise ValueError(f"width_log2 ({width_log2}) must be in [12, 26]")
-    idxb, _, rows, g, hi, hi_tile = _prep(idx, None, width_log2)
+    idxb, _, rows, g, gsub, hi, hi_tile = _prep(idx, None, width_log2)
 
     words = pl.pallas_call(
-        partial(_bloom_rows_kernel, hi_tile=hi_tile, nchunks=g // GSUB),
-        grid=(rows, hi // hi_tile, g // GSUB),
+        partial(_bloom_rows_kernel, hi_tile=hi_tile, nchunks=g // gsub,
+                gsub=gsub),
+        grid=(rows, hi // hi_tile, g // gsub),
         in_specs=[
-            pl.BlockSpec((1, GSUB, CHUNK), lambda r, h, i: (r, i, 0),
+            pl.BlockSpec((1, gsub, CHUNK), lambda r, h, i: (r, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, hi_tile // PACK, LO),
@@ -366,13 +382,15 @@ def mxu_bloom_words(
     if weight is not None:
         # presence needs only w != 0; fold into idx to keep one plane
         idx = jnp.where(weight.astype(jnp.int32) != 0, idx, -1)
-    idxb, _, rows, g, hi, hi_tile = _prep(idx.reshape(1, -1), None, width_log2)
+    idxb, _, rows, g, gsub, hi, hi_tile = _prep(
+        idx.reshape(1, -1), None, width_log2)
 
     words = pl.pallas_call(
-        partial(_bloom_kernel, hi_tile=hi_tile, nchunks=g // GSUB),
-        grid=(hi // hi_tile, g // GSUB),
+        partial(_bloom_kernel, hi_tile=hi_tile, nchunks=g // gsub,
+                gsub=gsub),
+        grid=(hi // hi_tile, g // gsub),
         in_specs=[
-            pl.BlockSpec((1, GSUB, CHUNK), lambda h, i: (0, i, 0),
+            pl.BlockSpec((1, gsub, CHUNK), lambda h, i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, hi_tile // PACK, LO),
