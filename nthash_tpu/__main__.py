@@ -44,7 +44,8 @@ def _cmd_count(args) -> int:
     if args.fused:
         # production path: bucket emission in-kernel, MXU histograms,
         # parse thread overlapping device work; no 64-bit hash in HBM
-        reads = pipe.count_file(args.file, batch_size=args.batch_size)
+        reads = pipe.count_file(args.file, batch_size=args.batch_size,
+                                threads=args.threads)
         import numpy as np
 
         total = int(
@@ -54,7 +55,8 @@ def _cmd_count(args) -> int:
               f"({reads / max(dt, 1e-9):.3g} reads/s) on "
               f"{pipe.mesh.devices.size} device(s)")
         return 0
-    total = pipe.run_file(args.file, batch_size=args.batch_size)
+    total = pipe.run_file(args.file, batch_size=args.batch_size,
+                          threads=args.threads)
     dt = time.time() - t0
     print(f"{total} valid {args.k}-mers in {dt:.2f}s "
           f"({total / max(dt, 1e-9):.3g} k-mers/s) on "
@@ -83,6 +85,8 @@ def main(argv=None) -> int:
     pc.add_argument("--batch-size", type=int, default=65536)
     pc.add_argument("--fused", action="store_true",
                     help="fused hash->count path (sketch only, fastest)")
+    pc.add_argument("--threads", type=int, default=1,
+                    help="byte-range shard parse threads (native parser)")
     pc.set_defaults(fn=_cmd_count)
 
     args = p.parse_args(argv)

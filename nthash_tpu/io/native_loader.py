@@ -36,6 +36,11 @@ def _load():
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p]
         lib.nthash_parser_open.restype = ctypes.c_void_p
         lib.nthash_parser_open.argtypes = [ctypes.c_char_p]
+        lib.nthash_parser_open_range.restype = ctypes.c_void_p
+        lib.nthash_parser_open_range.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int]
+        lib.nthash_parser_tell.restype = ctypes.c_int64
+        lib.nthash_parser_tell.argtypes = [ctypes.c_void_p]
         lib.nthash_parser_close.argtypes = [ctypes.c_void_p]
         lib.nthash_parser_next_batch.restype = ctypes.c_int64
         lib.nthash_parser_next_batch.argtypes = [
@@ -63,22 +68,56 @@ def encode(seq: bytes) -> np.ndarray:
     return out
 
 
+def sniff_format(path) -> int:
+    """1 = FASTA ('>'), 2 = FASTQ ('@') from the file's first byte —
+    byte-range shards need it passed in (they can't see the head)."""
+    with open(path, "rb") as f:
+        first = f.read(1)
+    if first == b">":
+        return 1
+    if first == b"@":
+        return 2
+    raise ValueError(f"{path}: not FASTA/FASTQ (first byte {first!r})")
+
+
 class NativeFastxParser:
     """Streaming [B, L] code batches from a FASTA/FASTQ file (uncompressed).
 
     >>> with NativeFastxParser(path) as p:
     ...     for codes, lengths in p.batches(65536, 150):
     ...         ...
+
+    ``start``/``end`` open a byte-range shard: exactly the records whose
+    header byte lies in [start, end) are parsed (resyncing to the next
+    record boundary after ``start``), so N shards covering the file
+    partition its records — the basis of the multi-thread parallel parse
+    (ctypes releases the GIL during the C calls, so shard threads truly
+    overlap). ``fmt`` (from :func:`sniff_format`) is required when
+    ``start > 0``.
     """
 
-    def __init__(self, path):
+    def __init__(self, path, start: int = 0, end: int | None = None,
+                 fmt: int = 0):
         lib = _load()
         if lib is None:
             raise RuntimeError(f"native loader unavailable: {_build_error}")
         self._lib = lib
-        self._h = lib.nthash_parser_open(str(path).encode())
+        if start > 0 and fmt == 0:
+            raise ValueError("byte-range shards need fmt (sniff_format)")
+        if start == 0 and end is None and fmt == 0:
+            self._h = lib.nthash_parser_open(str(path).encode())
+        else:
+            self._h = lib.nthash_parser_open_range(
+                str(path).encode(), start,
+                (1 << 62) if end is None else end, fmt,
+            )
         if not self._h:
             raise FileNotFoundError(path)
+
+    def tell(self) -> int:
+        """Byte offset just past the last parsed record (the next record's
+        header offset) — persist it to make stream resume an O(1) seek."""
+        return int(self._lib.nthash_parser_tell(self._h))
 
     def close(self):
         if self._h:
@@ -107,10 +146,13 @@ class NativeFastxParser:
             return None
         return codes[:n], lengths[:n]
 
-    def next_batch_into(self, out: np.ndarray) -> int:
+    def next_batch_into(self, out: np.ndarray) -> tuple[int, int]:
         """Fill rows of a preallocated [max_reads, row_len] uint8 array;
-        returns the number of reads produced (0 at EOF). Zero-copy row
-        writes — the streaming front-end's hot path (io/stream.py)."""
+        returns (number of reads produced — 0 at EOF, max true read length
+        in the batch). Zero-copy row writes — the streaming front-end's
+        hot path (io/stream.py). Reads longer than row_len are truncated
+        in ``out``; the caller detects that from the returned max length
+        (io/stream.py raises unless truncation was opted into)."""
         max_reads, row_len = out.shape
         lengths = np.empty(max_reads, dtype=np.int64)
         n = self._lib.nthash_parser_next_batch(
@@ -120,7 +162,7 @@ class NativeFastxParser:
         )
         if n < 0:
             raise ValueError(self._lib.nthash_parser_error(self._h).decode())
-        return int(n)
+        return int(n), int(lengths[:n].max()) if n else 0
 
     def batches(self, max_reads: int, row_len: int):
         while True:

@@ -28,6 +28,13 @@ class PipelineConfig:
     sketch_width_log2: int = 20
     n_devices: int | None = None  # default: all visible devices
     engine: str = "auto"  # "auto": Pallas kernel on TPU, jnp elsewhere
+    #: Hash output layout. True (default) returns the framework's native
+    #: window-major [W, B] per-hash arrays — the fast path: the Pallas
+    #: kernel produces [W, R] tiles, and the batch-major [B, W, H] stack
+    #: costs a measured ~10x relayout (BENCH_r03 dp_pallas vs raw kernel;
+    #: VERDICT r3 weak #3). Set False for the batch-major convenience
+    #: layout.
+    time_major: bool = True
 
 
 def fused_count_step(codes_tm, sketch, k: int, *, interpret: bool = False):
@@ -67,8 +74,12 @@ class ReadHashingPipeline:
 
     def step(self, codes: np.ndarray | jnp.ndarray):
         """Hash one [B, L] batch (B divisible by mesh size) and fold its
-        k-mers into the global sketch. Returns (hashes U64 [B, W, H],
-        valid [B, W])."""
+        k-mers into the global sketch.
+
+        Returns (hashes, valid): with the default time-major config, a
+        list of ``num_hashes`` U64 [W, B] plus valid [W, B] (the fast
+        layout); with ``time_major=False``, one U64 [B, W, H] plus valid
+        [B, W]."""
         cfg = self.config
         codes = dp.shard_reads(jnp.asarray(codes), self.mesh)
         hashes, valid, self.sketch = dp.hash_and_sketch(
@@ -79,105 +90,145 @@ class ReadHashingPipeline:
             cfg.sketch_width_log2,
             self.mesh,
             cfg.engine,
+            time_major=cfg.time_major,
         )
         return hashes, valid
 
-    def query(self, hashes: U64) -> jnp.ndarray:
-        """Count-min multiplicity estimates for the given window hashes."""
-        return cms.query(self.sketch, hashes, self.config.sketch_width_log2)
+    def query(self, hashes) -> jnp.ndarray:
+        """Count-min multiplicity estimates for window hashes in either
+        step() layout (a per-hash U64 list or one stacked U64)."""
+        wlog = self.config.sketch_width_log2
+        if isinstance(hashes, U64):  # U64 is itself a (named) tuple
+            return cms.query(self.sketch, hashes, wlog)
+        return cms.query_rows(self.sketch, hashes, wlog)
 
     def run_file(self, path, batch_size: int = 65536,
-                 read_length: int | None = None, prefetch: int = 2):
+                 read_length: int | None = None, prefetch: int = 2,
+                 threads: int = 1):
         """Stream a FASTA/FASTQ file through the full hash+sketch pipeline.
 
         Parsing runs in a background thread (io/stream.Prefetcher over the
-        native C++ parser when available), and per-batch valid-k-mer
-        counts accumulate as *device* scalars — the single host sync
-        happens at the end, so parse / H2D / compute overlap across the
-        whole stream. Returns the total number of valid k-mers hashed.
+        native C++ parser when available) — or ``threads`` byte-range
+        shard threads in parallel (io/stream.stream_code_batches_parallel)
+        — and per-batch valid-k-mer counts accumulate as *device* scalars;
+        the single host sync happens at the end, so parse / H2D / compute
+        overlap across the whole stream. Returns the total number of
+        valid k-mers hashed.
         """
-        from ..io.stream import Prefetcher, stream_code_batches
+        from ..io.stream import (
+            Prefetcher, stream_code_batches, stream_code_batches_parallel,
+        )
 
         batch_size += (-batch_size) % self.mesh.devices.size
+        if threads > 1:
+            src = stream_code_batches_parallel(
+                path, batch_size, read_length, threads=threads)
+        else:
+            src = stream_code_batches(path, batch_size, read_length)
         counts = []
-        for batch, _ in Prefetcher(
-            stream_code_batches(path, batch_size, read_length),
-            depth=prefetch,
-        ):
-            _, valid = self.step(batch)
-            counts.append(jnp.sum(valid.astype(jnp.int32)))
+        with Prefetcher(src, depth=prefetch) as pf:
+            for batch, _ in pf:
+                _, valid = self.step(batch)
+                counts.append(jnp.sum(valid.astype(jnp.int32)))
         return int(np.sum([np.asarray(c) for c in counts], dtype=np.int64))
 
     def count_file(self, path, batch_size: int = 1 << 18,
                    read_length: int | None = None, prefetch: int = 2,
-                   checkpoint_path=None, checkpoint_every: int = 0):
+                   checkpoint_path=None, checkpoint_every: int = 0,
+                   threads: int = 1):
         """Stream a file through the *fused* hash->count pipeline (bucket
         emission in-kernel, MXU histogram; no 64-bit hash reaches HBM) —
         the production streaming configuration (BASELINE config 5).
 
         Same overlap structure as :meth:`run_file`; every batch has a
         fixed shape so the distributed step compiles exactly once.
+        ``threads > 1`` parses byte-range shards of the file in parallel
+        (order-nondeterministic; the sketch is order-invariant).
 
         ``checkpoint_path`` + ``checkpoint_every`` (batches) enable
-        crash recovery: the sketch and stream position persist via
-        utils.checkpoint (FN_NAME-tagged), and a rerun with the same
-        path/batch_size resumes after the last completed checkpoint —
-        batching is deterministic, so the resumed sketch is bit-identical
-        to an uninterrupted run. The reference's analogue is that its
-        iterator state (pos, fwd, rev) is resumable by construction
-        (reference nthash.hpp:72-78); here the carried state is the
-        sketch plus the batch cursor.
+        crash recovery: the sketch and the file offset just past the last
+        counted record persist via utils.checkpoint (FN_NAME-tagged), and
+        a rerun with the same parameters *seeks* to that offset — resume
+        cost is O(1), not a re-parse of the counted prefix (VERDICT r3
+        weak #6) — and produces a sketch bit-identical to an
+        uninterrupted run (k-mer multisets, not batch boundaries, define
+        it). The reference's analogue is that its iterator state (pos,
+        fwd, rev) is resumable by construction (reference
+        nthash.hpp:72-78); here the carried state is the sketch plus the
+        stream offset. Checkpointing requires the deterministic serial
+        parse (``threads == 1``) and the native parser.
 
         Returns (reads_streamed including any resumed prefix).
         """
-        from ..io.stream import Prefetcher, stream_code_batches
+        from pathlib import Path
+
+        from ..io.stream import (
+            Prefetcher, stream_code_batches, stream_code_batches_parallel,
+        )
         from ..parallel import dp
         from ..utils import checkpoint
 
         batch_size += (-batch_size) % self.mesh.devices.size
         cfg = self.config
         total = 0
-        done_batches = 0
-        if checkpoint_path is not None:
-            from pathlib import Path
-
-            if Path(checkpoint_path).exists():
-                state = checkpoint.load(checkpoint_path, {
-                    "rows": self.sketch.rows,
-                    "reads": np.int64(0),
-                    "batches": np.int64(0),
-                })
-                self.sketch = cms.CountMinSketch(jnp.asarray(state["rows"]))
-                total = int(state["reads"])
-                done_batches = int(state["batches"])
-
-        seen = 0
-        for batch, n in Prefetcher(
-            stream_code_batches(path, batch_size, read_length),
-            depth=prefetch,
-        ):
-            seen += 1
-            if seen <= done_batches:
-                continue  # already counted before the checkpoint
-            codes = dp.shard_reads(jnp.asarray(batch), self.mesh)
-            self.sketch = dp.fused_count(
-                codes, self.sketch, cfg.k, self.mesh,
-                interpret=jax.default_backend() != "tpu",
+        start_offset = 0
+        with_ckpt = checkpoint_path is not None
+        if with_ckpt and threads > 1:
+            raise ValueError(
+                "checkpointing requires the deterministic serial parse "
+                "(threads=1); parallel shard order is nondeterministic"
             )
-            total += n
-            if (checkpoint_path is not None and checkpoint_every
-                    and (seen - done_batches) % checkpoint_every == 0):
-                jax.block_until_ready(self.sketch.rows)
-                checkpoint.save(checkpoint_path, {
-                    "rows": self.sketch.rows,
-                    "reads": np.int64(total),
-                    "batches": np.int64(seen),
-                })
-        jax.block_until_ready(self.sketch.rows)
-        if checkpoint_path is not None:
+        # Run-context fingerprint: resuming with a different input file,
+        # batch size, k, or sketch geometry must fail loudly, not merge
+        # mismatched state into the sketch (ADVICE r3).
+        src = Path(path)
+        ctx = {
+            "input": f"{src.name}:{src.stat().st_size}",
+            "batch_size": int(batch_size),
+            "k": int(cfg.k),
+            "num_hashes": int(cfg.num_hashes),
+            "sketch_width_log2": int(cfg.sketch_width_log2),
+        }
+        if with_ckpt and Path(checkpoint_path).exists():
+            state = checkpoint.load(checkpoint_path, {
+                "rows": self.sketch.rows,
+                "reads": np.int64(0),
+                "offset": np.int64(0),
+            }, expect_context=ctx)
+            self.sketch = cms.CountMinSketch(jnp.asarray(state["rows"]))
+            total = int(state["reads"])
+            start_offset = int(state["offset"])
+
+        def save_ckpt(offset):
+            jax.block_until_ready(self.sketch.rows)
             checkpoint.save(checkpoint_path, {
                 "rows": self.sketch.rows,
                 "reads": np.int64(total),
-                "batches": np.int64(seen),
-            })
+                "offset": np.int64(offset),
+            }, context=ctx)
+
+        if threads > 1:
+            src_it = stream_code_batches_parallel(
+                path, batch_size, read_length, threads=threads)
+        else:
+            src_it = stream_code_batches(
+                path, batch_size, read_length,
+                start_offset=start_offset, with_offsets=with_ckpt)
+        done = 0
+        with Prefetcher(src_it, depth=prefetch) as pf:
+            for item in pf:
+                batch, n = item[0], item[1]
+                codes = dp.shard_reads(jnp.asarray(batch), self.mesh)
+                self.sketch = dp.fused_count(
+                    codes, self.sketch, cfg.k, self.mesh,
+                    interpret=jax.default_backend() != "tpu",
+                )
+                total += n
+                done += 1
+                if (with_ckpt and checkpoint_every
+                        and done % checkpoint_every == 0):
+                    save_ckpt(item[2])
+        jax.block_until_ready(self.sketch.rows)
+        if with_ckpt:
+            save_ckpt(item[2] if done else start_offset)
         return total

@@ -84,3 +84,44 @@ def test_checkpoint_rejects_wrong_structure(tmp_path):
     checkpoint.save(path, sk)
     with pytest.raises(ValueError, match="tree structure"):
         checkpoint.load(path, {"rows": np.zeros((1, 16), np.int32)})
+
+
+def test_checkpoint_context_validation(tmp_path, rng):
+    from nthash_tpu.utils import checkpoint
+
+    state = {"x": rng.integers(0, 10, size=4)}
+    p = tmp_path / "c.npz"
+    checkpoint.save(p, state, context={"k": 32, "input": "a.fa:100"})
+    checkpoint.load(p, state, expect_context={"k": 32})  # subset ok
+    with pytest.raises(ValueError, match="context mismatch"):
+        checkpoint.load(p, state, expect_context={"k": 64})
+    with pytest.raises(ValueError, match="context mismatch"):
+        checkpoint.load(p, state, expect_context={"batch_size": 7})
+
+
+def test_checkpoint_rejects_wrong_shape(tmp_path, rng):
+    from nthash_tpu.utils import checkpoint
+
+    state = {"x": rng.integers(0, 10, size=4)}
+    p = tmp_path / "c.npz"
+    checkpoint.save(p, state)
+    with pytest.raises(ValueError, match="shape"):
+        checkpoint.load(p, {"x": np.zeros(8, dtype=np.int64)})
+
+
+def test_checkpoint_save_is_atomic(tmp_path, rng):
+    """save() never leaves a partial file: the temp is replaced over the
+    target only after a complete write (ADVICE r3)."""
+    from nthash_tpu.utils import checkpoint
+
+    p = tmp_path / "c.npz"
+    checkpoint.save(p, {"x": np.arange(4)})
+    before = p.read_bytes()
+    # a failing save (unserializable leaf) must leave the old file intact
+    class Boom:
+        def __array__(self):
+            raise RuntimeError("disk full")
+    with pytest.raises(RuntimeError):
+        checkpoint.save(p, {"x": Boom()})
+    assert p.read_bytes() == before
+    assert list(tmp_path.glob("*.tmp")) == []
