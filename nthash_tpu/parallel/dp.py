@@ -55,14 +55,14 @@ def fused_count(
     codes: [B, L] uint8 sharded over the reads axis; one sketch row per
     nte64 hash. Returns the merged CountMinSketch (replicated).
     """
-    from ..ops.kmer_pallas import hash_kmers_tm, prepare_codes
+    from ..ops.kmer_pallas import hash_kmers_tm_auto, prepare_codes
 
     num_rows, width = sketch.rows.shape
     width_log2 = width.bit_length() - 1
 
     def local_step(local_codes, local_rows):
         tm = prepare_codes(local_codes, 1)
-        buckets = hash_kmers_tm(
+        buckets = hash_kmers_tm_auto(
             tm, k, num_rows, emit_buckets=width_log2, interpret=interpret
         )
         counts = cms.update_from_buckets(
@@ -125,10 +125,10 @@ def hash_and_sketch(
         lb = local_codes.shape[0]
         if use_pallas:
             from ..ops.kmer_jnp import window_valid_tm
-            from ..ops.kmer_pallas import hash_kmers_tm, prepare_codes
+            from ..ops.kmer_pallas import hash_kmers_tm_auto, prepare_codes
 
             tm = prepare_codes(local_codes, 1)
-            res = hash_kmers_tm(tm, k, num_hashes)  # H x U64 [W, R]
+            res = hash_kmers_tm_auto(tm, k, num_hashes)  # H x U64 [W, R]
             valid = window_valid_tm(tm, k)          # [W, R]
             # bucket rows directly from the per-hash [W, R] limbs — no
             # relayout; invalid windows -> out-of-range sentinel

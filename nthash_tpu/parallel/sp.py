@@ -36,8 +36,33 @@ from .dp import resolve_engine
 from .mesh import SEQ_AXIS
 
 
-def shard_sequence(codes: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
-    """Place a [L] sequence sharded over the seq axis (L % n_devices == 0)."""
+def shard_sequence(
+    codes: jnp.ndarray, mesh: Mesh, k: int | None = None,
+    tile: int | None = None,
+) -> jnp.ndarray:
+    """Place a [L] sequence sharded over the seq axis.
+
+    With ``k`` given, any length is accepted: the sequence is padded with
+    invalid codes up to a multiple of ``n_devices * tile`` (so every
+    device chunk divides evenly into >=k-1-window pseudo-read tiles —
+    real chromosome lengths are never multiples of the mesh size).
+    Padded windows carry an invalid base, so they are masked exactly like
+    the off-end windows; consumers that honor ``valid`` need no change,
+    and window w < L-k+1 is unaffected. Without ``k`` (legacy), L must
+    already be divisible by n_devices.
+    """
+    n = mesh.shape[SEQ_AXIS]
+    if k is not None:
+        t0 = max(tile or 256, k - 1, 1)
+        quantum = n * t0
+        pad = (-codes.shape[0]) % quantum
+        if pad:
+            codes = jnp.pad(codes, (0, pad), constant_values=4)
+    elif codes.shape[0] % n:
+        raise ValueError(
+            f"sequence length {codes.shape[0]} is not divisible by the "
+            f"{n}-device seq mesh; pass k= to shard_sequence to pad"
+        )
     return jax.device_put(codes, NamedSharding(mesh, P(SEQ_AXIS)))
 
 
@@ -52,12 +77,29 @@ def _halo_extend(chunk: jnp.ndarray, k: int, n: int) -> jnp.ndarray:
     return jnp.concatenate([chunk, halo])  # [C + k - 1]
 
 
-def pick_tile(c: int, tile: int | None) -> int:
-    """Largest pseudo-read window count <= ``tile`` dividing the chunk."""
-    t = min(tile or 256, c)
-    while c % t:
-        t -= 1
-    return t
+def pick_tile(c: int, k: int, tile: int | None = None) -> int:
+    """Pseudo-read window count: a divisor of the chunk that is >= k-1
+    (``pseudo_reads`` pads each row by t-k+1, so t < k-1 would be a
+    negative pad — ADVICE r3), preferring the largest such divisor
+    <= ``tile`` (default 256) and falling back to the smallest one above.
+    """
+    lo = max(k - 1, 1)
+    if c < lo:
+        raise ValueError(
+            f"per-device chunk ({c}) is smaller than k-1 ({k - 1}); "
+            "use fewer devices or pad the sequence (shard_sequence with k=)"
+        )
+    divisors = set()
+    i = 1
+    while i * i <= c:
+        if c % i == 0:
+            divisors.update((i, c // i))
+        i += 1
+    t0 = min(tile or 256, c)
+    best_below = max((d for d in divisors if lo <= d <= t0), default=None)
+    if best_below is not None:
+        return best_below
+    return min(d for d in divisors if d >= lo)
 
 
 def pseudo_reads(ext: jnp.ndarray, k: int, t: int) -> jnp.ndarray:
@@ -135,7 +177,7 @@ def hash_long_sequence(
     """
     n = mesh.shape[SEQ_AXIS]
     c = codes.shape[0] // n
-    t = pick_tile(c, tile)
+    t = pick_tile(c, k, tile)
     use_pallas = resolve_engine(engine) == "pallas"
 
     def local(chunk):
@@ -186,7 +228,7 @@ def hash_long_sequence_seeds(
     n = mesh.shape[SEQ_AXIS]
     k = len(seeds[0])
     c = codes.shape[0] // n
-    t = pick_tile(c, tile)
+    t = pick_tile(c, k, tile)
     use_pallas = resolve_engine(engine) == "pallas"
     nout = len(seeds) * num_hashes_per_seed
 
