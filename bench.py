@@ -169,7 +169,11 @@ def main():
         return B * W * h / best, B * W * h / med, B * W / best
 
     h1_hashes, h1_hashes_med, h1_kmers = measure_hash(1, best_ni)
-    h4_hashes, h4_hashes_med, _ = measure_hash(4, best_ni)
+    # h=4 has 4x the output blocks, so the h=1 winner can overflow VMEM
+    try:
+        h4_hashes, h4_hashes_med, _ = measure_hash(4, best_ni)
+    except Exception:
+        h4_hashes, h4_hashes_med, _ = measure_hash(4, min(best_ni, 4))
 
     # ---- spaced seeds: same full-array gate ----------------------------
     ks = len(SEEDS[0])

@@ -589,3 +589,23 @@ print(f"OK rss={peak:.0f}MB base={base:.0f}MB")
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "OK" in out.stdout
+
+
+def test_facade_tiled_device_engine(rng):
+    """Tiles at/above the device threshold hash via the jnp engine per
+    tile; rolled values across a tile boundary must match the oracle."""
+    from nthash_tpu import oracle
+
+    codes = rng.integers(0, 5, size=10_000, dtype=np.uint8)
+    k, h, tile = 9, 2, 4096
+    start = tile - 5
+    nth = NtHash(codes, h, k, pos=start, tile_windows=tile, engine="jnp")
+    _, _, expect, valid = oracle.hash_all_windows(codes, k, h)
+    for _ in range(12):
+        if not nth.roll():
+            break
+        p = nth.get_pos()
+        assert valid[p]
+        np.testing.assert_array_equal(nth.hashes(), expect[p])
+    assert nth.get_pos() > tile  # crossed the boundary
+    assert nth._table.resident_windows() <= 2 * tile
