@@ -228,7 +228,12 @@ def hash_long_sequence_seeds(
     n = mesh.shape[SEQ_AXIS]
     k = len(seeds[0])
     c = codes.shape[0] // n
-    t = pick_tile(c, k, tile)
+    # seed kernels carry per-tap state across the unrolled time loop, so
+    # their scoped-VMEM footprint grows faster with pseudo-read length
+    # than auto_interleave's block model predicts (a 260-step tile was
+    # measured 1.9x over the estimate and OOM'd); default to shorter
+    # pseudo-reads than the k-mer path's 256
+    t = pick_tile(c, k, tile if tile is not None else 128)
     use_pallas = resolve_engine(engine) == "pallas"
     nout = len(seeds) * num_hashes_per_seed
 
