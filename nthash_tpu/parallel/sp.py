@@ -242,12 +242,19 @@ def hash_long_sequence_seeds(
         pseudo = pseudo_reads(ext, k, t)
         rows = pseudo.shape[0]
         if use_pallas:
-            from ..ops.kmer_pallas import prepare_codes
+            from ..ops.kmer_pallas import auto_interleave, prepare_codes
             from ..ops.seed_pallas import hash_seeds_tm
 
             tm = prepare_codes(pseudo, 1)
+            # halve the effective VMEM budget (doubled out_arrays): the
+            # seed kernel's scoped stack runs ~1.9x the block estimate at
+            # SP pseudo-read lengths (measured OOM at the default choice)
+            ni = auto_interleave(
+                t + k - 1, t, 4 * nout, tm.shape[1]
+            )
             res = hash_seeds_tm(
-                tm, seeds, num_hashes_per_seed, interpret=interpret
+                tm, seeds, num_hashes_per_seed, interleave=ni,
+                interpret=interpret,
             )
             his = tuple(h.hi.T[:rows].reshape(-1) for h in res)
             los = tuple(h.lo.T[:rows].reshape(-1) for h in res)
