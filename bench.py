@@ -50,7 +50,10 @@ LONG_L = 10_000        # nanopore-scale read length for the tiled kernel
 SP_LEN = 1 << 27       # 134 Mbp synthetic chromosome for the SP metric
 SP_SEED_LEN = 1 << 25  # spaced-seed SP metric length (VERDICT r3 weak #5)
 STREAM_READS = 10_000_000
-PARSE_THREADS = 8      # byte-range shard threads for the parallel parse
+PARSE_THREADS = 4      # byte-range shard threads for the parallel parse
+                       # (this host has 2 cores; 2x oversubscription
+                       # overlaps parse with the numpy batch assembly,
+                       # 8 threads measurably thrash)
 REPEATS = 3            # timed repeats per metric: best + median reported
                        # (VERDICT r3 weak #1: one mean per metric made env
                        # drift indistinguishable from a regression)
@@ -496,20 +499,27 @@ def main():
     stream_reads = STREAM_READS / stream_dt
     # component rates for the bottleneck/overlap story
     file_bytes = os.path.getsize(stream_path)
-    t0 = time.perf_counter()
     from nthash_tpu.io.stream import (
         stream_code_batches, stream_code_batches_parallel,
     )
-    parsed = sum(
-        n for _, n in stream_code_batches(stream_path, 1 << 20, L))
-    parse_dt = time.perf_counter() - t0
-    assert parsed == STREAM_READS
+
+    def best_parse_dt(mk_iter, repeats=REPEATS):
+        """Best wall time over repeats — the host has 2 shared cores, so
+        single-shot parse timings swing several-fold with scheduler
+        noise; best-of-N matches the repeat policy of the chip metrics."""
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            parsed = sum(n for _, n in mk_iter())
+            assert parsed == STREAM_READS
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    parse_dt = best_parse_dt(
+        lambda: stream_code_batches(stream_path, 1 << 20, L))
     # byte-range sharded multi-thread parse (VERDICT r3 next #4)
-    t0 = time.perf_counter()
-    parsed_par = sum(n for _, n in stream_code_batches_parallel(
+    parse_par_dt = best_parse_dt(lambda: stream_code_batches_parallel(
         stream_path, 1 << 20, L, threads=PARSE_THREADS))
-    parse_par_dt = time.perf_counter() - t0
-    assert parsed_par == STREAM_READS
     compute_reads_per_s = count_metrics["count_pipeline"] / W
     os.remove(stream_path)
 
@@ -564,6 +574,7 @@ def main():
         "stream_parse_parallel_reads_per_s": round(
             STREAM_READS / parse_par_dt, 1),
         "stream_parse_threads": PARSE_THREADS,
+        "host_cpu_cores": os.cpu_count(),
         "stream_compute_reads_per_s": round(compute_reads_per_s, 1),
         "stream_file_gb": round(file_bytes / 1e9, 2),
         "stream_bottleneck": "h2d_tunnel (~0.03 GB/s axon tunnel; real TPU "
