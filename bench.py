@@ -440,8 +440,11 @@ def main():
     codes_lr = rng.integers(0, 4, size=(Blr, LONG_L), dtype=np.uint8)
     Wlr = LONG_L - k + 1
     tm_lr = prepare_codes(jnp.asarray(codes_lr), 1)
-    louts = hash_kmers_tm_long(tm_lr[:, :1024], k, 2)
-    lgot = [to_u64(o)[:, :4] for o in louts]
+    # 4096-read gate slice: auto-interleave resolves to the same ni as
+    # the timed 16384-read call, so the gate covers the timed variant
+    louts = hash_kmers_tm_long(tm_lr[:, :4096], k, 2)
+    lgot = [to_u64(jax.tree_util.tree_map(lambda x: x[:, :4], o))
+            for o in louts]
     del louts
     for b in range(4):
         _, _, ext, _ = oracle.hash_all_windows(codes_lr[b], k, 2)

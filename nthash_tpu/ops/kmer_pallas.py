@@ -311,7 +311,7 @@ def hash_kmers_tm_long(
     k: int,
     num_hashes: int = 1,
     *,
-    interleave: int = 1,
+    interleave: int | None = None,
     time_tile: int | None = None,
     emit_fwd_rev: bool = False,
     emit_buckets: int | None = None,
@@ -339,7 +339,18 @@ def hash_kmers_tm_long(
     tile = time_tile or pick_time_tile(k)
     if tile % k:
         raise ValueError(f"time_tile ({tile}) must be a multiple of k ({k})")
-    ni = interleave
+    nout_tmp = num_hashes + (2 if emit_fwd_rev else 0)
+    oa = nout_tmp if emit_buckets is not None else 2 * nout_tmp
+    # auto interleave: per grid step the pipeline holds (1 + out_arrays)
+    # time-tile blocks of ni*1024 lanes; measured +19-22% at ni 4-8 over
+    # the previous fixed ni=1 (state scratch is small, so the whole-read
+    # kernel's 3x scoped-stack model transfers)
+    ni = interleave or next(
+        (n for n in (8, 4, 2, 1)
+         if reads % (n * TILE) == 0
+         and 3 * (1 + oa) * tile * n * TILE * 4 <= _VMEM_BUDGET),
+        1,
+    )
     if reads % (ni * TILE):
         raise ValueError(f"R ({reads}) must be a multiple of {ni * TILE}")
     lpad = (-length) % tile
