@@ -160,7 +160,7 @@ def main():
         )
 
     sweep = {}
-    for ni in (2, 4, 8):
+    for ni in (2, 4, 8, 16):
         try:
             sweep[ni], _ = measure(hash_fn(1, ni), tm, n=8, repeats=1)
         except Exception:
