@@ -243,7 +243,8 @@ def main():
             return_counts=True,
         )
         got_at = np.asarray(jnp.take(skh.rows[r], jnp.asarray(pos), axis=0))
-        row_total = int(jnp.sum(skh.rows[r], dtype=jnp.int64))
+        # int32 is exact: the gate slice has ~122K updates per row
+        row_total = int(jnp.sum(skh.rows[r]))
         if not (np.array_equal(got_at, cnt.astype(np.int32))
                 and row_total == total_updates == int(cnt.sum())):
             fail("COUNT_PARITY_FAILURE_HUGE")
@@ -312,7 +313,8 @@ def main():
         (exp_words_sparse[int(p_)] for p_ in wpos), np.uint32)
     got_wh = bloom_step(tm_gate, bf0h.words, HUGE_WIDTH_LOG2)
     got_at_w = np.asarray(jnp.take(got_wh, jnp.asarray(wpos), axis=0))
-    popc = int(jnp.sum(jax.lax.population_count(got_wh).astype(jnp.int64)))
+    popc = int(jnp.sum(
+        jax.lax.population_count(got_wh).astype(jnp.int32)))
     exp_popc = int(np.unpackbits(wval.view(np.uint8)).sum())
     if not (np.array_equal(got_at_w, wval) and popc == exp_popc):
         fail("BLOOM_PARITY_FAILURE_HUGE")
