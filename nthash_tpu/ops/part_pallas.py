@@ -3,14 +3,17 @@
 The direct one-hot matmul histogram (ops/hist_pallas.py) costs ``width``
 MACs per update, so past width ~2^18 it loses to even XLA's serialized
 ~8 ns/update scatter. This module breaks that ceiling for widths
-2^19..2^23 by *partitioning* updates on their high bits so each update
+2^19..2^30 by *partitioning* updates on their high bits so each update
 only pays for a narrow sub-histogram:
 
 1. **Sort** — a Pallas bitonic network sorts each chunk of ``128 * P``
    updates in VMEM (values stay on-chip for all O(log^2) stages; measured
    ~1.5 ns/update on v5e vs ~1.8-2.9 ns for XLA's HBM-roundtrip sort).
-   Sorting groups each chunk's updates by partition id (the top
-   ``log2(P)`` bits) into contiguous runs.
+   Chunks wider than SORT_BLOCK_ROWS sort hierarchically (block sorts in
+   alternating directions + one short merge phase per doubling), keeping
+   compile time sane up to 2048 partitions. Sorting groups each chunk's
+   updates by partition id (the top ``log2(P)`` bits) into contiguous
+   runs.
 2. **Windows** — for each partition p the kernel copies a fixed
    3-sublane-row (384-element) window starting at p's first row into a
    dense [P, G, 3, 128] layout. Windows are sublane-aligned (dynamic
@@ -25,8 +28,9 @@ only pays for a narrow sub-histogram:
    ``lax.cond`` (counts are never silently dropped).
 3. **Sub-histograms** — the existing exact MXU one-hot kernel
    (ops/hist_pallas.mxu_histogram_rows) runs per (row, partition) at
-   sub-width ``width / P`` <= 2^14-2^15, i.e. 0.2-0.4 ns/update instead
-   of ``width`` MACs.
+   sub-width ``width / P`` (<= 2^15 through width 2^23, <= 2^16 through
+   2^27), i.e. 0.2-0.6 ns/update instead of ``width`` MACs; widths whose
+   sub exceeds the MXU range recurse through this module once.
 
 The same partitioning feeds packed Bloom ingestion (OR semantics) via
 :func:`partitioned_bloom_words`, which keeps the 1-bit/bucket HBM format
