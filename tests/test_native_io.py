@@ -77,3 +77,68 @@ def test_native_parser_malformed(tmp_path):
 def test_native_parser_missing_file():
     with pytest.raises(FileNotFoundError):
         native_loader.NativeFastxParser("/nonexistent/xx.fa")
+
+
+@pytest.mark.skipif(not native_loader.available(), reason="no toolchain")
+def test_byte_range_shards_partition_records(tmp_path, rng):
+    """Fuzz the byte-range resync: for random variable-length FASTQ (with
+    adversarial '@'-leading quality lines) and multi-line FASTA, any shard
+    count must partition the records exactly — no loss, no duplication."""
+    import numpy as np
+
+    from nthash_tpu.io.native_loader import NativeFastxParser, sniff_format
+
+    CODE = {65: 0, 67: 1, 71: 2, 84: 3, 78: 4}
+    bases = np.frombuffer(b"ACGTN", np.uint8)
+
+    def mk_fastq(path, n):
+        seqs = []
+        with open(path, "wb") as f:
+            for i in range(n):
+                ln = int(rng.integers(5, 30))
+                seq = bases[rng.integers(0, 5, size=ln)].tobytes()
+                qual = (b"@" if i % 3 == 0 else b"I") * ln
+                f.write(b"@read%d\n" % i + seq + b"\n+\n" + qual + b"\n")
+                seqs.append(seq)
+        return seqs
+
+    def mk_fasta(path, n):
+        seqs = []
+        with open(path, "wb") as f:
+            for i in range(n):
+                ln = int(rng.integers(5, 60))
+                seq = bases[rng.integers(0, 5, size=ln)].tobytes()
+                f.write(b">r%d\n" % i)
+                for j in range(0, ln, 17):
+                    f.write(seq[j : j + 17] + b"\n")
+                seqs.append(seq)
+        return seqs
+
+    for mk, name in ((mk_fastq, "t.fq"), (mk_fasta, "t.fa")):
+        path = tmp_path / name
+        seqs = mk(path, 300)
+        fmt = sniff_format(path)
+        size = path.stat().st_size
+        rl = 64
+        exp = np.full((300, rl), 4, np.uint8)
+        for i, s in enumerate(seqs):
+            arr = [CODE[c] for c in s[:rl]]
+            exp[i, : len(arr)] = arr
+
+        def collect(start, end):
+            rows = []
+            with NativeFastxParser(path, start, end, fmt) as p:
+                while True:
+                    b = p.next_batch(64, rl)
+                    if b is None:
+                        break
+                    rows.append(b[0])
+            return (np.concatenate(rows) if rows
+                    else np.zeros((0, rl), np.uint8))
+
+        for nshards in (1, 2, 5, 11):
+            bounds = [size * i // nshards for i in range(nshards + 1)]
+            got = np.concatenate(
+                [collect(bounds[i], bounds[i + 1]) for i in range(nshards)])
+            assert got.shape[0] == 300, (name, nshards, got.shape)
+            assert np.array_equal(got, exp), (name, nshards)
