@@ -286,3 +286,17 @@ def test_count_file_checkpoint_context_mismatch(fastq, tmp_path):
     with pytest.raises(ValueError, match="context mismatch"):
         other.count_file(path, batch_size=256, read_length=L,
                          checkpoint_path=ckpt)
+
+
+@pytest.mark.skipif(not native_loader.available(), reason="no toolchain")
+def test_parallel_parse_propagates_long_read_error(tmp_path):
+    """A worker hitting an over-length read must surface the error to the
+    consumer (not hang or silently truncate)."""
+    from nthash_tpu.io.stream import stream_code_batches_parallel
+
+    path = tmp_path / "var.fa"
+    recs = b"".join(b">r%d\nACGTACGT\n" % i for i in range(200))
+    path.write_bytes(recs + b">long\n" + b"ACGT" * 8 + b"\n")
+    with pytest.raises(ValueError, match="exceeds the batch row length"):
+        list(stream_code_batches_parallel(path, 64, read_length=8,
+                                          threads=3))
