@@ -609,3 +609,36 @@ def test_facade_tiled_device_engine(rng):
         np.testing.assert_array_equal(nth.hashes(), expect[p])
     assert nth.get_pos() > tile  # crossed the boundary
     assert nth._table.resident_windows() <= 2 * tile
+
+
+def test_facade_tiled_n_skip_across_boundary():
+    """N-islands adjacent to a tile boundary: roll and roll_back must
+    reproduce the default-tile (single-table) facade exactly."""
+    seq = list("ACGT" * 40)
+    # N island straddling the windows around the tile-32 boundary
+    seq[33] = "N"
+    seq[34] = "N"
+    seq = "".join(seq)
+    k, tile = 6, 32
+    a = NtHash(seq, 2, k, tile_windows=tile)
+    b = NtHash(seq, 2, k)
+    fwd_pos = []
+    while True:
+        ra, rb = a.roll(), b.roll()
+        assert ra == rb
+        if not ra:
+            break
+        assert a.get_pos() == b.get_pos()
+        np.testing.assert_array_equal(a.hashes(), b.hashes())
+        fwd_pos.append(a.get_pos())
+    assert any(p > 34 for p in fwd_pos) and any(p < 28 for p in fwd_pos)
+    # roll_back across the island bounces off the re-init scan (reference
+    # semantics: pos -= k then a FORWARD init scan) — step a bounded
+    # number of times and require lockstep, not termination
+    for _ in range(3 * len(seq)):
+        ra, rb = a.roll_back(), b.roll_back()
+        assert ra == rb
+        if not ra:
+            break
+        assert a.get_pos() == b.get_pos()
+        np.testing.assert_array_equal(a.hashes(), b.hashes())
