@@ -109,9 +109,19 @@ struct Parser {
   // start-1, so a header exactly at `start` is still found (its preceding
   // newline is in view). FASTQ needs structural validation because quality
   // lines may begin with '@': a line L is a header iff L starts with '@'
-  // and L+2 starts with '+' ('+' cannot begin a sequence line).
+  // and the line after next starts with '+' ('+' cannot begin a sequence
+  // line). The third line is read WITHOUT blank-line skipping: a skipping
+  // peek() would false-positive on a quality line starting with '@' when
+  // the following record has an empty sequence line (quality -> header ->
+  // (skipped empty seq) -> '+') and mis-sync the shard (ADVICE r4 medium).
+  // Strict reading still accepts true headers of empty-sequence records:
+  // their four lines are consecutive, so line 3 is the '+' either way.
   bool resync() {
     size_t s, e;
+    // Hold mode disables compaction, so the buffer grows while scanning;
+    // a huge headerless region in a file claimed as FASTQ must surface a
+    // parse error instead of growing until EOF (ADVICE r4 low).
+    const size_t kResyncCap = (size_t)64 << 20;
     if (!next_line(s, e)) return false;  // drop the partial first line
     if (format == 1) {
       for (;;) {
@@ -123,13 +133,19 @@ struct Parser {
     }
     hold = true;  // retain bytes so candidate positions can be rewound to
     for (;;) {
+      if (len > kResyncCap) {
+        err = "FASTQ shard resync: no record header found within 64 MiB";
+        hold = false;
+        return false;
+      }
       int pb = peek();
       if (pb < 0) { hold = false; return false; }
       size_t cand = pos;
       if (pb == '@') {
-        size_t s1, e1, s2, e2;
+        size_t s1, e1, s2, e2, s3, e3;
         if (!next_line(s1, e1)) { hold = false; return false; }
-        bool ok = next_line(s2, e2) && peek() == '+';
+        bool ok = next_line(s2, e2) && next_line(s3, e3) && e3 > s3 &&
+                  buf[s3] == '+';
         pos = cand;
         if (ok) { hold = false; return true; }
         next_line(s1, e1);  // not a header: skip this line and rescan
@@ -184,7 +200,14 @@ void* nthash_parser_open_range(const char* path, int64_t start, int64_t end,
   p->end = end;
   if (start > 0) {
     int64_t from = start - 1;
-    if (fseek(p->f, (long)from, SEEK_SET) != 0 || format == 0) {
+    // fseeko/off_t (not fseek/long) keeps offsets 64-bit on LLP64
+    // platforms — genome-scale inputs routinely exceed 2 GiB
+#if defined(_WIN32)
+    int seek_rc = _fseeki64(p->f, from, SEEK_SET);
+#else
+    int seek_rc = fseeko(p->f, (off_t)from, SEEK_SET);
+#endif
+    if (seek_rc != 0 || format == 0) {
       delete p;
       return nullptr;
     }
@@ -217,6 +240,7 @@ int64_t nthash_parser_next_batch(void* handle, int64_t max_reads,
                                  int64_t row_len, uint8_t* out_codes,
                                  int64_t* out_lengths) {
   auto* p = (Parser*)handle;
+  if (!p->err.empty()) return -1;  // e.g. a failed shard resync
   int64_t produced = 0;
   size_t s = 0, e = 0;
   std::vector<uint8_t> seq;  // multi-line FASTA accumulation

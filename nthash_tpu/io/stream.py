@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import weakref
 from pathlib import Path
 from typing import Iterator
 
@@ -268,36 +269,48 @@ class Prefetcher:
 
     def __init__(self, it, depth: int = 2):
         self._q: queue.Queue = queue.Queue(maxsize=depth)
-        self._err: BaseException | None = None
+        self._err_box: list = []
         self._cancel = threading.Event()
+        # the worker is a staticmethod holding no reference to self, so an
+        # abandoned Prefetcher is collectable; the finalizer then cancels
+        # the producer (which would otherwise spin on q.put at 10 Hz with
+        # the parser / file handle open for the process lifetime)
         self._thread = threading.Thread(
-            target=self._run, args=(it,), daemon=True
+            target=self._run,
+            args=(it, self._q, self._cancel, self._DONE, self._err_box),
+            daemon=True,
         )
+        self._finalizer = weakref.finalize(self, self._cancel.set)
         self._thread.start()
 
-    def _run(self, it):
+    @property
+    def _err(self) -> BaseException | None:
+        return self._err_box[0] if self._err_box else None
+
+    @staticmethod
+    def _run(it, q, cancel, done, err_box):
         try:
             for item in it:
-                while not self._cancel.is_set():
+                while not cancel.is_set():
                     try:
-                        self._q.put(item, timeout=0.1)
+                        q.put(item, timeout=0.1)
                         break
                     except queue.Full:
                         continue
-                if self._cancel.is_set():
+                if cancel.is_set():
                     close = getattr(it, "close", None)  # generator cleanup
                     if close is not None:
                         close()
                     return
         except BaseException as e:  # propagated to the consumer
-            self._err = e
+            err_box.append(e)
         finally:
             # bounded cancel-aware put: blocking forever would recreate the
             # abandoned-consumer hang, put_nowait would drop DONE when the
             # queue is momentarily full and hang a live consumer
-            while not self._cancel.is_set():
+            while not cancel.is_set():
                 try:
-                    self._q.put(self._DONE, timeout=0.1)
+                    q.put(done, timeout=0.1)
                     break
                 except queue.Full:
                     continue

@@ -92,10 +92,15 @@ def test_byte_range_shards_partition_records(tmp_path, rng):
     bases = np.frombuffer(b"ACGTN", np.uint8)
 
     def mk_fastq(path, n):
+        # i % 5 == 1: empty-sequence records — combined with '@'-leading
+        # quality on the previous record (i % 3 == 0, so both align every
+        # 15 records) this is the exact resync false-positive of ADVICE r4
+        # medium: quality '@...' -> header -> empty seq -> '+' used to
+        # validate the quality line as a header under blank-line skipping
         seqs = []
         with open(path, "wb") as f:
             for i in range(n):
-                ln = int(rng.integers(5, 30))
+                ln = 0 if i % 5 == 1 else int(rng.integers(5, 30))
                 seq = bases[rng.integers(0, 5, size=ln)].tobytes()
                 qual = (b"@" if i % 3 == 0 else b"I") * ln
                 f.write(b"@read%d\n" % i + seq + b"\n+\n" + qual + b"\n")

@@ -268,6 +268,37 @@ def test_prefetcher_close_unblocks_producer(fastq):
     pf.close()  # idempotent
 
 
+def test_prefetcher_gc_releases_producer():
+    """A Prefetcher abandoned WITHOUT close() must be collectable (the
+    worker holds no reference to it), and collection must cancel the
+    producer thread so it stops polling and runs generator cleanup
+    (ADVICE r4 low)."""
+    import gc
+    import threading
+    import time
+
+    closed = threading.Event()
+
+    def src():
+        try:
+            for i in range(10_000):
+                yield i
+        finally:
+            closed.set()
+
+    pf = Prefetcher(src(), depth=2)
+    thread = pf._thread
+    assert next(iter(pf)) == 0
+    del pf
+    gc.collect()
+    thread.join(timeout=5.0)
+    assert not thread.is_alive()
+    deadline = time.monotonic() + 5.0
+    while not closed.is_set() and time.monotonic() < deadline:
+        time.sleep(0.01)
+    assert closed.is_set()
+
+
 def test_count_file_checkpoint_context_mismatch(fastq, tmp_path):
     """Resuming with different run parameters must fail loudly, not merge
     mismatched state (ADVICE r3)."""
