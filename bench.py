@@ -43,7 +43,10 @@ COUNT_WIDTH_LOG2 = 14  # count-min row width, direct-MXU regime
 WIDE_WIDTH_LOG2 = 20   # count-min row width, partitioned regime
 HUGE_WIDTH_LOG2 = 27   # genome-scale filter width (VERDICT r3 next #1):
                        # the multi-gigabit btllib regime, big-chunk
-                       # partitioned path (plan: 4096 partitions, sub 2^15)
+                       # partitioned path
+BLOOM_HUGE_WIDTH_LOG2 = 30  # widest packed-Bloom width (VERDICT r4
+                       # missing #2): 2^30 bits = 128 MB of packed words,
+                       # the top of the btllib filter range
 COUNT_ROWS = 4
 BLOOM_WIDTH_LOG2 = 17  # Bloom bits, direct-MXU regime
 LONG_L = 10_000        # nanopore-scale read length for the tiled kernel
@@ -297,13 +300,14 @@ def main():
         )
         bloom_metrics[name] = nb * W / measure(bf_fn, xs, bf0.words, n=8)[0]
 
-    # Bloom at the genome-scale width 2^27 (16 MB packed words): gate =
-    # exact words at every oracle-set word index + total popcount (same
-    # zero-elsewhere argument as the huge count gate)
+    # Bloom at the top packed width 2^30 (128 MB packed words — VERDICT
+    # r4 missing #2): gate = exact words at every oracle-set word index +
+    # total popcount (same zero-elsewhere argument as the huge count gate)
     from nthash_tpu.ops.hist_pallas import bit_index, word_index
 
-    bf0h = BloomFilter.zeros(HUGE_WIDTH_LOG2)
-    hidx = (exp_h & hmask).astype(np.int64)[exp_v].reshape(-1)
+    bhmask = np.uint64((1 << BLOOM_HUGE_WIDTH_LOG2) - 1)
+    bf0h = BloomFilter.zeros(BLOOM_HUGE_WIDTH_LOG2)
+    hidx = (exp_h & bhmask).astype(np.int64)[exp_v].reshape(-1)
     exp_words_sparse = {}
     for b_, w_ in zip(word_index(hidx), np.uint32(1) << bit_index(
             hidx).astype(np.uint32)):
@@ -311,7 +315,7 @@ def main():
     wpos = np.fromiter(exp_words_sparse.keys(), np.int64)
     wval = np.fromiter(
         (exp_words_sparse[int(p_)] for p_ in wpos), np.uint32)
-    got_wh = bloom_step(tm_gate, bf0h.words, HUGE_WIDTH_LOG2)
+    got_wh = bloom_step(tm_gate, bf0h.words, BLOOM_HUGE_WIDTH_LOG2)
     got_at_w = np.asarray(jnp.take(got_wh, jnp.asarray(wpos), axis=0))
     popc = int(jnp.sum(
         jax.lax.population_count(got_wh).astype(jnp.int32)))
@@ -320,7 +324,7 @@ def main():
         fail("BLOOM_PARITY_FAILURE_HUGE")
     del got_wh
     bfh_fn = jax.jit(
-        lambda x, w: bloom_step(x, w, HUGE_WIDTH_LOG2)[:: 1 << 18]
+        lambda x, w: bloom_step(x, w, BLOOM_HUGE_WIDTH_LOG2)[:: 1 << 21]
     )
     bloom_huge = Bw * W / measure(bfh_fn, tm_wide, bf0h.words, n=4)[0]
 
@@ -328,13 +332,13 @@ def main():
         from nthash_tpu.models.bloom import pack_presence
 
         bucks = hash_kmers_tm(
-            x, k, COUNT_ROWS, emit_buckets=HUGE_WIDTH_LOG2)
+            x, k, COUNT_ROWS, emit_buckets=BLOOM_HUGE_WIDTH_LOG2)
         idx_ = jnp.concatenate([b2.reshape(-1) for b2 in bucks])
         presence = (
-            jnp.zeros(1 << HUGE_WIDTH_LOG2, jnp.int8)
+            jnp.zeros(1 << BLOOM_HUGE_WIDTH_LOG2, jnp.int8)
             .at[idx_].max(jnp.int8(1), mode="drop")
         )
-        return (w | pack_presence(presence))[:: 1 << 18]
+        return (w | pack_presence(presence))[:: 1 << 21]
 
     bloom_huge_scatter = Bw * W / measure(
         jax.jit(bloom_scatter), tm_wide, bf0h.words, n=2, repeats=1)[0]
@@ -460,6 +464,38 @@ def main():
     long_kmers = Blr * Wlr / measure(lr_fn, tm_lr, n=4)[0]
     del tm_lr, codes_lr
 
+    # ---- scalar facade: per-call roll() and bulk __iter__ on the host
+    # (VERDICT r4 next #3 — the reference's product surface is a
+    # single-threaded while(roll()) loop at 10.3M k-mers/s/core,
+    # BASELINE.md; these numbers published for the honest comparison).
+    # Host-oracle engine: the metric is per-call Python cost, not tile
+    # compute, and the tunnel would add noise.
+    from nthash_tpu.api import BlindNtHash, NtHash
+
+    fac_seq = np.frombuffer(b"ACGT", np.uint8)[
+        rng.integers(0, 4, size=1_000_000)].tobytes().decode()
+    fh = NtHash(fac_seq, 1, k, engine="oracle")
+    if not fh.roll():  # first roll computes the tile
+        fail("FACADE_ROLL_FAILURE")
+    t0 = time.perf_counter()
+    nrolls = 0
+    while fh.roll():
+        nrolls += 1
+    facade_rolls = nrolls / (time.perf_counter() - t0)
+    fh2 = NtHash(fac_seq, 1, k, engine="oracle")
+    fh2.roll()
+    t0 = time.perf_counter()
+    niter = sum(1 for _ in fh2)
+    facade_iter = niter / (time.perf_counter() - t0)
+    if nrolls + 1 != len(fac_seq) - k + 1 or niter != nrolls:
+        fail("FACADE_COUNT_FAILURE")
+    bh = BlindNtHash(fac_seq[:k], 1, k)
+    blind_codes = [c % 4 for c in fac_seq.encode()[k : k + 200_000]]
+    t0 = time.perf_counter()
+    for c in blind_codes:
+        bh.roll(c)
+    blind_rolls = len(blind_codes) / (time.perf_counter() - t0)
+
     # ---- streaming end to end: 10M-read FASTQ -> native parse thread ->
     # H2D -> fused count, fully overlapped (VERDICT r2 task 5) ------------
     from nthash_tpu.models.pipeline import PipelineConfig, ReadHashingPipeline
@@ -562,7 +598,7 @@ def main():
         "bloom_wide_kmers_per_s": round(bloom_metrics["bloom_wide"], 1),
         "bloom_wide_width_log2": WIDE_WIDTH_LOG2,
         "bloom_huge_kmers_per_s": round(bloom_huge, 1),
-        "bloom_huge_width_log2": HUGE_WIDTH_LOG2,
+        "bloom_huge_width_log2": BLOOM_HUGE_WIDTH_LOG2,
         "bloom_huge_scatter_kmers_per_s": round(bloom_huge_scatter, 1),
         "bloom_huge_vs_scatter": round(bloom_huge / bloom_huge_scatter, 2),
         "dp_pallas_kmers_per_s": round(dp_kmers, 1),
@@ -573,6 +609,13 @@ def main():
         "sp_seed_sequence_len": SP_SEED_LEN,
         "long_read_kmers_per_s": round(long_kmers, 1),
         "long_read_len": LONG_L,
+        "facade_rolls_per_s": round(facade_rolls, 1),
+        "facade_iter_kmers_per_s": round(facade_iter, 1),
+        "facade_blind_rolls_per_s": round(blind_rolls, 1),
+        "facade_note": "host-side per-call Python cost (engine=oracle); "
+                       "reference C++ while(roll()) measures 10.3M "
+                       "k-mers/s/core (BASELINE.md) — bulk work belongs "
+                       "on the batched device engines",
         "stream_reads_per_s": round(stream_reads, 1),
         "stream_reads": STREAM_READS,
         "stream_parse_reads_per_s": round(STREAM_READS / parse_dt, 1),

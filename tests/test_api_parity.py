@@ -642,3 +642,52 @@ def test_facade_tiled_n_skip_across_boundary():
             break
         assert a.get_pos() == b.get_pos()
         np.testing.assert_array_equal(a.hashes(), b.hashes())
+
+
+def test_iter_bulk_matches_roll_lockstep():
+    """__iter__ streams from the resident tile with lazy state sync; it
+    must match the per-call roll() trace exactly — positions, hashes,
+    fwd/rev — across N islands and tile boundaries, and object state
+    must be correct immediately after an early break (VERDICT r4 next
+    #3: the bulk path must not trade away roll() semantics)."""
+    import numpy as np
+
+    from nthash_tpu.api import NtHash
+
+    rng = np.random.default_rng(77)
+    seq = list("".join(np.array(list("ACGT"))[rng.integers(0, 4, 5000)]))
+    for i in (100, 101, 400, 2000, 2001, 2002, 4900):
+        seq[i] = "N"
+    seq = "".join(seq)
+
+    a = NtHash(seq, 2, 17, tile_windows=1024)
+    ref = []
+    while a.roll():
+        ref.append((a.get_pos(), a.hashes().copy(),
+                    a.get_forward_hash(), a.get_reverse_hash()))
+
+    b = NtHash(seq, 2, 17, tile_windows=1024)
+    got = [(b.get_pos(), row.copy(), b.get_forward_hash(),
+            b.get_reverse_hash()) for row in b]
+    assert len(ref) == len(got)
+    for (p1, h1, f1, r1), (p2, h2, f2, r2) in zip(ref, got):
+        assert p1 == p2 and f1 == f2 and r1 == r2
+        assert np.array_equal(h1, h2)
+    # iterator exhaustion leaves state at the last valid window
+    assert b.get_pos() == ref[-1][0]
+
+    # early break at a tile boundary: state is the broken-at step, and a
+    # subsequent roll() resumes the exact roll() trace
+    for stop_at in (1, 1024, 1025, 3000):
+        c = NtHash(seq, 2, 17, tile_windows=1024)
+        n = 0
+        for _ in c:
+            n += 1
+            if n == stop_at:
+                break
+        assert c.get_pos() == ref[stop_at - 1][0]
+        assert np.array_equal(c.hashes(), ref[stop_at - 1][1])
+        assert c.get_forward_hash() == ref[stop_at - 1][2]
+        assert c.roll()
+        assert c.get_pos() == ref[stop_at][0]
+        assert np.array_equal(c.hashes(), ref[stop_at][1])
