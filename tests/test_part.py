@@ -21,19 +21,20 @@ def _np_counts(idx, width):
 
 def test_plan_ranges():
     for w in range(pp.PART_MIN_WIDTH_LOG2, pp.PART_MAX_WIDTH_LOG2 + 1):
-        p_log2, sub_log2, rows = pp.plan(w)
+        p_log2, sub_log2, rows, cap = pp.plan(w)
         assert p_log2 + sub_log2 == w
         assert rows * pp.LANES >= 8192
         assert rows >= (1 << p_log2)
         assert p_log2 <= pp.MAX_P.bit_length() - 1
-        # narrow sub-histograms (the one-hot cost driver): <= 2^16
-        # through width 2^27, <= 2^18 through 2^29, one recursion at 2^30
-        assert 10 <= sub_log2 <= 19
-        assert (sub_log2 <= 16) == (w <= 27)
-    assert pp.plan(24) == (9, 15, 512)
-    assert pp.plan(26) == (10, 16, 1024)
-    assert pp.plan(27) == (11, 16, 2048)
-    assert pp.plan(30) == (11, 19, 2048)
+        # narrow sub-histograms (the one-hot cost driver): the deeper
+        # plans keep sub within the MXU kernel range at every width, so
+        # no recursion is needed and the packed-Bloom path covers 2^30
+        assert 10 <= sub_log2 <= 18
+        # capacity = load factor + 2 alignment rows; window inflation
+        # (cap / m) stays <= 2x everywhere (it was 3x at m=1)
+        m_eff = rows >> p_log2
+        assert cap == m_eff + 2
+        assert cap / m_eff <= 2.0
     with pytest.raises(ValueError):
         pp.plan(18)
     with pytest.raises(ValueError):
@@ -42,7 +43,7 @@ def test_plan_ranges():
 
 def test_sort_chunks_exact(rng):
     wlog = 19
-    p_log2, sub_log2, _ = pp.plan(wlog)
+    p_log2, sub_log2, *_ = pp.plan(wlog)
     x = rng.integers(0, 1 << wlog, size=(2, 2, 8, pp.LANES), dtype=np.int32)
     srt, fb = pp.sort_chunks(
         jnp.asarray(x), sub_log2, p_log2, interpret=True
@@ -63,7 +64,7 @@ def test_windows_cover_all_partitions(rng):
     windows (dropping out-of-range entries, numpy reduction) must equal
     bincount — proving no element is lost or duplicated."""
     width_log2 = 19
-    p_log2, sub_log2, _ = pp.plan(width_log2)
+    p_log2, sub_log2, *_ = pp.plan(width_log2)
     rows, width, sub = 8, 1 << width_log2, 1 << sub_log2
     r, g = 2, 3
     idx = rng.integers(0, width, size=(r, g * rows * pp.LANES), dtype=np.int32)
@@ -86,7 +87,7 @@ def test_windows_cover_all_partitions(rng):
 def test_overflow_detected_on_skew(rng):
     """All-identical buckets overflow every window; the flag must fire."""
     width_log2 = 19
-    p_log2, sub_log2, _ = pp.plan(width_log2)
+    p_log2, sub_log2, *_ = pp.plan(width_log2)
     rows = 8
     idx = jnp.full((1, 4 * rows * pp.LANES), 7, jnp.int32)
     chunks = pp._pad_chunks(idx, 1 << width_log2, rows * pp.LANES)
@@ -195,7 +196,7 @@ def test_windows_cover_all_partitions_huge(rng):
     Reconstruction is sparse (a dense 2^27 array would dominate the
     test)."""
     width_log2 = 27
-    p_log2, sub_log2, _ = pp.plan(width_log2)
+    p_log2, sub_log2, *_ = pp.plan(width_log2)
     p, sub = 1 << p_log2, 1 << sub_log2
     rows = 8
     r, g = 1, 2
@@ -241,14 +242,14 @@ def test_partitioned_recursion_orchestration(rng, monkeypatch):
         return srt, fb[:, :, None, :]
 
     def fake_partition_windows(sorted_idx, fb, p_log2, sub_log2, *,
-                               interpret=False):
+                               cap_rows=pp.CAP_ROWS, interpret=False):
         r, g, rows, lanes = sorted_idx.shape
         p = 1 << p_log2
 
         def win(chunk, start_rows, pi):
-            start = jnp.minimum(start_rows, rows - pp.CAP_ROWS)
+            start = jnp.minimum(start_rows, rows - cap_rows)
             w = jax.lax.dynamic_slice(
-                chunk, (start, 0), (pp.CAP_ROWS, lanes))
+                chunk, (start, 0), (cap_rows, lanes))
             return w - (pi << sub_log2)
 
         pis = jnp.arange(p, dtype=jnp.int32)
@@ -278,6 +279,9 @@ def test_partitioned_recursion_orchestration(rng, monkeypatch):
     monkeypatch.setattr(pp, "sort_chunks", fake_sort_chunks)
     monkeypatch.setattr(pp, "partition_windows", fake_partition_windows)
     monkeypatch.setattr(pp, "mxu_histogram_rows", fake_mxu_rows)
+    # production plans keep sub <= 2^18 (no recursion); force a shallow
+    # plan (p=9 -> sub 2^19 > MXU range) so the recursion branch runs
+    monkeypatch.setitem(pp._PLANS, 28, (9, 1))
 
     width_log2 = 28
     width = 1 << width_log2
@@ -298,7 +302,7 @@ def test_overflow_not_tripped_by_pad_sentinels(rng):
     the last partition (that false positive silently forced the scatter
     fallback on heavily-padded inputs, e.g. the recursion's windows)."""
     width_log2 = 19
-    p_log2, sub_log2, _ = pp.plan(width_log2)
+    p_log2, sub_log2, *_ = pp.plan(width_log2)
     rows = 8
     # one real row worth of data, 7 rows of padding per chunk
     idx = rng.integers(0, 1 << width_log2, size=(1, 130), dtype=np.int32)
