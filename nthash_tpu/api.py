@@ -450,12 +450,7 @@ class BlindNtHash:
     def _extend(self):
         """nte64 extension into the preallocated hash array (reference
         internal.hpp:104-118)."""
-        h0 = (self._fwd + self._rev) & M64
-        ha = self._hash_arr
-        ha[0] = h0
-        for i in range(1, self._num_hashes):
-            t = (h0 * self._mults[i]) & M64
-            ha[i] = t ^ (t >> 27)
+        self._write_hashes(self._fwd, self._rev)
 
     @staticmethod
     def _code(ch) -> int:
@@ -507,27 +502,50 @@ class BlindNtHash:
         w.appendleft(code_in)
         self._pos -= 1
 
+    def _write_hashes(self, f: int, r: int):
+        h0 = (f + r) & M64
+        ha = self._hash_arr
+        ha[0] = h0
+        for i in range(1, self._num_hashes):
+            t = (h0 * self._mults[i]) & M64
+            ha[i] = t ^ (t >> 27)
+
     def peek(self, char_in) -> None:
         """Hash of the window rolled right, without committing
-        (reference kmer.cpp:377-384)."""
-        k = len(self._window)
-        code_in = self._code(char_in)
-        fwd = oracle.next_forward_hash(self._fwd, k, self._window[0], code_in)
-        rev = oracle.next_reverse_hash(self._rev, k, self._window[0], code_in)
-        self._hash_arr = np.array(
-            extend_hashes(fwd, rev, k, self._num_hashes), np.uint64
-        )
+        (reference kmer.cpp:377-384). Same tap-table fast path as roll()
+        — peek is the hot de Bruijn probe (4 calls per node)."""
+        code_in = char_in if type(char_in) is int else self._code(char_in)
+        code_out = self._window[0]
+        f = self._fwd
+        lo = f & MASK33
+        hi = f >> 33
+        f = ((((hi << 1) | (hi >> 30)) & MASK31) << 33) \
+            | (((lo << 1) | (lo >> 32)) & MASK33)
+        f ^= self._seed[code_in] ^ self._seed_k[code_out]
+        r = self._rev ^ self._rseed_k[code_in] ^ self._rseed[code_out]
+        lo = r & MASK33
+        hi = r >> 33
+        r = ((((hi >> 1) | (hi << 30)) & MASK31) << 33) \
+            | (((lo >> 1) | (lo << 32)) & MASK33)
+        self._write_hashes(f, r)
 
     def peek_back(self, char_in) -> None:
         """Hash of the window rolled left, without committing
         (reference kmer.cpp:386-393)."""
-        k = len(self._window)
-        code_in = self._code(char_in)
-        fwd = oracle.prev_forward_hash(self._fwd, k, self._window[-1], code_in)
-        rev = oracle.prev_reverse_hash(self._rev, k, self._window[-1], code_in)
-        self._hash_arr = np.array(
-            extend_hashes(fwd, rev, k, self._num_hashes), np.uint64
-        )
+        code_in = char_in if type(char_in) is int else self._code(char_in)
+        code_out = self._window[-1]
+        f = self._fwd ^ self._seed_k[code_in] ^ self._seed[code_out]
+        lo = f & MASK33
+        hi = f >> 33
+        f = ((((hi >> 1) | (hi << 30)) & MASK31) << 33) \
+            | (((lo >> 1) | (lo << 32)) & MASK33)
+        r = self._rev
+        lo = r & MASK33
+        hi = r >> 33
+        r = ((((hi << 1) | (hi >> 30)) & MASK31) << 33) \
+            | (((lo << 1) | (lo >> 32)) & MASK33)
+        r ^= self._rseed[code_in] ^ self._rseed_k[code_out]
+        self._write_hashes(f, r)
 
     def hashes(self) -> np.ndarray:
         return self._hash_arr
