@@ -497,13 +497,22 @@ def check_overflow(
 
 def _pad_chunks(idx: jnp.ndarray, width: int, chunk: int) -> jnp.ndarray:
     """[R, N] -> [R, G, rows, LANES] with the sentinel ``width`` padding
-    (sorts to the end, localizes out of range, and is dropped)."""
+    (sorts to the end, localizes out of range, and is dropped).
+
+    When there are >= 8 chunks, G additionally pads to a multiple of 8 so
+    partition_windows' chunk grouping (cg) always divides it — an
+    awkward G (e.g. 477) would otherwise force cg=1 and pay the ~6 us
+    per-grid-step pipeline overhead 8x as often for <2% extra (sentinel)
+    sort work."""
     r, n = idx.shape
     idx = jnp.where((idx < 0) | (idx > width), width, idx)
-    pad = (-n) % chunk
+    g = -(-n // chunk)
+    if g >= 8:
+        g += (-g) % 8
+    pad = g * chunk - n
     if pad:
         idx = jnp.pad(idx, ((0, 0), (0, pad)), constant_values=width)
-    return idx.reshape(r, (n + pad) // chunk, chunk // LANES, LANES)
+    return idx.reshape(r, g, chunk // LANES, LANES)
 
 
 @partial(jax.jit, static_argnames=("width_log2", "interpret", "chunk_rows",
