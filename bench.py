@@ -635,8 +635,9 @@ def main():
                   "kmer h+fwd+rev, 2-seed spaced, fused counts "
                   "2^14+2^20+2^27 (huge via nonzero-positions+total, a "
                   "complete zero-elsewhere proof), bloom words "
-                  "2^17+2^20+2^27, DP time-major + fused, SP slices incl. "
-                  "tile boundary, SP spaced-seed, long reads L=10k)",
+                  "2^17+2^20+2^30, DP time-major + fused, SP slices incl. "
+                  "tile boundary, SP spaced-seed, long reads L=10k, "
+                  "facade stream counts)",
     }))
 
 

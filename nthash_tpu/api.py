@@ -645,10 +645,11 @@ class SeedNtHash:
         self._initialized = False
         self._engine = engine
         self._table = None
-        # resident-tile fast path, as in NtHash._load
+        # resident-tile fast path + lazy bulk-iter state, as in NtHash
         self._cur: tuple | None = None
         self._cur_base = 0
         self._cur_stop = 0
+        self._stale = False
         s = len(self._seeds)
         self._fwd = np.zeros(s, dtype=np.uint64)
         self._rev = np.zeros(s, dtype=np.uint64)
@@ -709,8 +710,15 @@ class SeedNtHash:
         if self._pos > last:
             return False
         self._load(self._pos)
+        self._stale = False
         self._initialized = True
         return True
+
+    def _refresh(self):
+        """Refresh fwd/rev/hash_arr from the resident tile after bulk
+        __iter__ advanced only _pos (lazy state sync)."""
+        if self._stale:
+            self._load(self._pos)
 
     def roll(self) -> bool:
         """Reference seed.cpp:518-544."""
@@ -724,6 +732,7 @@ class SeedNtHash:
             return self._init()
         self._pos += 1
         self._load(self._pos)
+        self._stale = False
         return True
 
     def roll_back(self) -> bool:
@@ -740,6 +749,7 @@ class SeedNtHash:
             return False
         self._pos -= 1
         self._load(self._pos)
+        self._stale = False
         return True
 
     def _ensure_taps(self):
@@ -771,6 +781,7 @@ class SeedNtHash:
         if not self._initialized:
             return self._init()
         code_in = int(_as_codes(char_in)[0]) if isinstance(char_in, str) else int(char_in)
+        self._refresh()
         self._ensure_taps()
         k = self._k
         w = self._codes[self._pos : self._pos + k]
@@ -799,6 +810,7 @@ class SeedNtHash:
         if not self._initialized:
             return self._init()
         code_in = int(_as_codes(char_in)[0]) if isinstance(char_in, str) else int(char_in)
+        self._refresh()
         self._ensure_taps()
         k = self._k
         w = self._codes[self._pos : self._pos + k]
@@ -818,6 +830,7 @@ class SeedNtHash:
         return True
 
     def hashes(self) -> np.ndarray:
+        self._refresh()
         return self._hash_arr
 
     def get_pos(self) -> int:
@@ -833,12 +846,15 @@ class SeedNtHash:
         return self._k
 
     def get_forward_hash(self) -> np.ndarray:
+        self._refresh()
         return self._fwd
 
     def get_reverse_hash(self) -> np.ndarray:
+        self._refresh()
         return self._rev
 
     def copy(self) -> "SeedNtHash":
+        self._refresh()
         new = object.__new__(type(self))
         new.__dict__.update(self.__dict__)
         new._fwd = self._fwd.copy()
@@ -846,9 +862,82 @@ class SeedNtHash:
         new._hash_arr = self._hash_arr.copy()
         return new
 
+    def _walk_positions(self, start: int, tile_last: int, last: int):
+        """Positions visited by successive roll() calls from ``start``
+        (inclusive) while they stay <= tile_last, following the
+        reference's quirk semantics (seed.cpp:518-544 + the init quirk):
+        from p the next position is p+1, except when the *incoming* base
+        codes[p+k] is N — then the walk jumps to p+k, which init accepts
+        unconditionally (strict_n_init=False). With strict_n_init=True
+        the jump lands on the next N-free window instead, i.e. exactly
+        the valid-window sequence. Returns a Python list."""
+        k = self._k
+        codes = self._codes
+        if self._strict_n_init:
+            # identical argument to NtHash: the visited set is all valid
+            # windows in order
+            valid = oracle.window_valid(codes[start : tile_last + k], k)
+            return (np.nonzero(valid)[0] + start).tolist()
+        out = []
+        cur = start
+        npos = np.nonzero(codes[start + k : tile_last + k + 1] == CODE_N)[0]
+        npos = (npos + start + k).tolist()  # absolute N positions
+        ni = 0
+        while cur <= tile_last:
+            # first N at/after cur + k bounds the contiguous run
+            while ni < len(npos) and npos[ni] < cur + k:
+                ni += 1
+            qn = npos[ni] if ni < len(npos) else None
+            if qn is None:
+                out.extend(range(cur, tile_last + 1))
+                break
+            # positions cur .. qn-k step normally; from qn-k the incoming
+            # base is the N at qn -> jump to qn
+            seg_end = min(qn - k, tile_last)
+            out.extend(range(cur, seg_end + 1))
+            if qn > last or qn > tile_last:
+                break
+            cur = qn
+        return out
+
     def __iter__(self):
-        while self.roll():
+        """Bulk-stream every remaining window in roll() order (including
+        the reference's N quirk jumps). Same lazy-state design as
+        :meth:`NtHash.__iter__`: one position store per yield; get_pos is
+        exact per step and fwd/rev/hashes refresh lazily on access."""
+        if not self._initialized:
+            if not self._init():
+                return
             yield self._hash_arr
+        k = self._k
+        codes = self._codes
+        last = len(codes) - k
+        self._ensure_table()
+        while self._pos < last:
+            # one quirk step from the current position locates the next
+            # visited window (it may be k away, in a later tile)
+            if codes[self._pos + k] == CODE_N:
+                nxt = self._pos + k
+                if self._strict_n_init:
+                    nxt = _next_valid_pos(codes, k, nxt)
+                if nxt > last:
+                    return
+            else:
+                nxt = self._pos + 1
+            arrs, off = self._table.get(nxt)
+            hashes = arrs[2]
+            base = nxt - off
+            self._cur, self._cur_base = arrs, base
+            self._cur_stop = base + len(arrs[0])
+            tile_last = min(self._cur_stop - 1, last)
+            positions = self._walk_positions(nxt, tile_last, last)
+            offs = np.asarray(positions, dtype=np.int64) - base
+            self._stale = True
+            for p, row in zip(positions, hashes[offs]):
+                self._pos = p
+                yield row
+            if not positions:
+                return
 
 
 class BlindSeedNtHash:

@@ -691,3 +691,49 @@ def test_iter_bulk_matches_roll_lockstep():
         assert c.roll()
         assert c.get_pos() == ref[stop_at][0]
         assert np.array_equal(c.hashes(), ref[stop_at][1])
+
+
+def test_seed_iter_bulk_matches_roll_lockstep():
+    """SeedNtHash.__iter__ bulk path must replay roll()'s exact visit
+    sequence — including the reference's N quirk jumps (incoming N at
+    codes[pos+k] jumps to pos+k, which init accepts unconditionally,
+    reference seed.cpp:151/518-544) — in both quirk and strict_n_init
+    modes, across tile boundaries, with correct state after a break."""
+    import numpy as np
+
+    from nthash_tpu.api import SeedNtHash
+
+    rng = np.random.default_rng(99)
+    seq = list("".join(np.array(list("ACGT"))[rng.integers(0, 4, 4000)]))
+    for i in (50, 51, 300, 1500, 1501, 1502, 1510, 3900):
+        seq[i] = "N"
+    seq = "".join(seq)
+    seeds = ("110011", "101101")
+
+    for strict in (False, True):
+        a = SeedNtHash(seq, seeds, 2, 6, strict_n_init=strict,
+                       tile_windows=512)
+        ref = []
+        while a.roll():
+            ref.append((a.get_pos(), a.hashes().copy()))
+        b = SeedNtHash(seq, seeds, 2, 6, strict_n_init=strict,
+                       tile_windows=512)
+        got = [(b.get_pos(), row.copy()) for row in b]
+        assert len(ref) == len(got), (strict, len(ref), len(got))
+        for (p1, h1), (p2, h2) in zip(ref, got):
+            assert p1 == p2
+            assert np.array_equal(h1, h2)
+        assert b.get_pos() == ref[-1][0]
+        # break mid-iteration: state + peek parity with the roll() trace
+        c = SeedNtHash(seq, seeds, 2, 6, strict_n_init=strict,
+                       tile_windows=512)
+        n = 0
+        for _ in c:
+            n += 1
+            if n == 700:
+                break
+        assert c.get_pos() == ref[699][0]
+        assert np.array_equal(c.hashes(), ref[699][1])
+        assert c.roll()
+        assert c.get_pos() == ref[700][0]
+        assert np.array_equal(c.hashes(), ref[700][1])
