@@ -175,6 +175,13 @@ def main():
         return B * W * h / best, B * W * h / med, B * W / best
 
     h1_hashes, h1_hashes_med, h1_kmers = measure_hash(1, best_ni)
+    # the production default (no interleave arg -> auto_interleave): the
+    # sweep winner must be within noise of this, or the auto table needs
+    # retuning (VERDICT r4 next #2's audit)
+    h1_auto, _ = measure(
+        jax.jit(lambda x: [o.hi[0, ::4096]
+                           for o in hash_kmers_tm(x, k, 1)]), tm)
+    h1_auto = B * W / h1_auto
     # h=4 has 4x the output blocks, so the h=1 winner can overflow VMEM
     try:
         h4_hashes, h4_hashes_med, _ = measure_hash(4, best_ni)
@@ -576,6 +583,7 @@ def main():
         "h1_kmers_per_s": round(h1_kmers, 1),
         "h1_hashes_per_s_median": round(h1_hashes_med, 1),
         "h1_interleave": best_ni,
+        "h1_auto_hashes_per_s": round(h1_auto, 1),
         "h4_hashes_per_s": round(h4_hashes, 1),
         "h4_hashes_per_s_median": round(h4_hashes_med, 1),
         "h4_vs_baseline": round(h4_hashes / BASELINE_H4, 2),
