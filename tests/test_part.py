@@ -349,3 +349,20 @@ def test_hierarchical_sort_exact(rng, monkeypatch):
         for gi in range(2):
             for pi in range(0, 1 << 10, 41):
                 assert fb[ri, gi, 0, pi] == int((lastq[ri, gi] < pi).sum())
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("width_log2", [22, 25])
+def test_partitioned_histogram_mid_widths_exact(rng, width_log2):
+    """The deep r5 plans change (P, load factor) per width; pin exactness
+    at mid widths too (small chunks keep interpret mode fast)."""
+    width = 1 << width_log2
+    idx = rng.integers(0, width + 1, size=(2, 2048), dtype=np.int32)
+    got = np.asarray(pp.partitioned_histogram_rows(
+        jnp.asarray(idx), width_log2, interpret=True, chunk_rows=8
+    ))
+    for ri in range(2):
+        vals = idx[ri][idx[ri] < width].astype(np.int64)
+        pos, cnt = np.unique(vals, return_counts=True)
+        assert np.array_equal(got[ri, pos], cnt.astype(np.int32))
+        assert int(got[ri].astype(np.int64).sum()) == len(vals)
