@@ -265,19 +265,25 @@ def main():
     count_huge = Bw * W / measure(huge_fn, tm_wide, sk0h, n=4)[0]
 
     # the serialized-scatter fallback on the same updates: the ratio is
-    # the partitioned path's win at this width (VERDICT asks >= 3x)
-    def scatter_step(x, s):
-        bucks = hash_kmers_tm(
-            x, k, COUNT_ROWS, emit_buckets=HUGE_WIDTH_LOG2)
+    # the partitioned path's win at each width (VERDICT asks >= 3x at the
+    # genome width; the 2^20 production width is reported too)
+    def scatter_step(x, s, wl):
+        bucks = hash_kmers_tm(x, k, COUNT_ROWS, emit_buckets=wl)
         rows = [
             s.rows[r].at[bucks[r].reshape(-1)].add(1, mode="drop")
             for r in range(COUNT_ROWS)
         ]
-        return jnp.stack(rows)[:, :: 1 << 20]
+        return jnp.stack(rows)[:, :: 1 << (wl - 7)]
 
     count_huge_scatter = Bw * W / measure(
-        jax.jit(scatter_step), tm_wide, sk0h, n=2, repeats=1)[0]
+        jax.jit(lambda x, s: scatter_step(x, s, HUGE_WIDTH_LOG2)),
+        tm_wide, sk0h, n=2, repeats=1)[0]
     del sk0h
+    sk0w = cms.CountMinSketch.zeros(COUNT_ROWS, WIDE_WIDTH_LOG2)
+    count_wide_scatter = Bw * W / measure(
+        jax.jit(lambda x, s: scatter_step(x, s, WIDE_WIDTH_LOG2)),
+        tm_wide, sk0w, n=2, repeats=1)[0]
+    del sk0w
 
     # ---- Bloom insert pipeline (1 bit/bucket end to end), direct width
     # and partitioned genome-scale width ---------------------------------
@@ -595,6 +601,9 @@ def main():
         "count_pipeline_width_log2": COUNT_WIDTH_LOG2,
         "count_wide_kmers_per_s": round(count_metrics["count_wide"], 1),
         "count_wide_width_log2": WIDE_WIDTH_LOG2,
+        "count_wide_scatter_kmers_per_s": round(count_wide_scatter, 1),
+        "count_wide_vs_scatter": round(
+            count_metrics["count_wide"] / count_wide_scatter, 2),
         "count_huge_kmers_per_s": round(count_huge, 1),
         "count_huge_width_log2": HUGE_WIDTH_LOG2,
         "count_huge_scatter_kmers_per_s": round(count_huge_scatter, 1),
