@@ -737,3 +737,46 @@ def test_seed_iter_bulk_matches_roll_lockstep():
         assert c.roll()
         assert c.get_pos() == ref[700][0]
         assert np.array_equal(c.hashes(), ref[700][1])
+
+
+def test_iter_bulk_fuzz_random_n_patterns():
+    """Fuzz the bulk iterators against the per-call roll() walk on random
+    N densities (incl. N in the first window, trailing Ns, and islands
+    crossing tile boundaries), both facade classes, both seed modes."""
+    import numpy as np
+
+    from nthash_tpu.api import NtHash, SeedNtHash
+
+    rng = np.random.default_rng(2024)
+    bases = np.array(list("ACGTN"))
+    for trial in range(6):
+        n_frac = [0.0, 0.02, 0.15][trial % 3]
+        probs = [(1 - n_frac) / 4] * 4 + [n_frac]
+        seq = "".join(bases[rng.choice(5, size=1200, p=probs)])
+        k = int(rng.integers(4, 12))
+
+        a = NtHash(seq, 2, k, tile_windows=256)
+        ref = []
+        while a.roll():
+            ref.append((a.get_pos(), a.hashes().copy()))
+        b = NtHash(seq, 2, k, tile_windows=256)
+        got = [(b.get_pos(), r.copy()) for r in b]
+        assert [p for p, _ in ref] == [p for p, _ in got], (trial, k)
+        for (p1, h1), (_, h2) in zip(ref, got):
+            assert np.array_equal(h1, h2), (trial, k, p1)
+
+        seeds = ("1011", "1101") if k >= 4 else ("11",)
+        seeds = tuple(s[:k].ljust(k, "1") for s in seeds)
+        for strict in (False, True):
+            c = SeedNtHash(seq, seeds, 1, k, strict_n_init=strict,
+                           tile_windows=256)
+            refs = []
+            while c.roll():
+                refs.append((c.get_pos(), c.hashes().copy()))
+            d = SeedNtHash(seq, seeds, 1, k, strict_n_init=strict,
+                           tile_windows=256)
+            gots = [(d.get_pos(), r.copy()) for r in d]
+            assert [p for p, _ in refs] == [p for p, _ in gots], (
+                trial, k, strict)
+            for (p1, h1), (_, h2) in zip(refs, gots):
+                assert np.array_equal(h1, h2), (trial, k, strict, p1)
