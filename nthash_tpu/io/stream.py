@@ -63,6 +63,55 @@ def _too_long(path, got: int, row_len: int) -> ValueError:
     )
 
 
+def pack_codes(batch: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """[B, L] uint8 base codes (0-4) -> (2-bit planes [B, ceil(L/4)],
+    N bitmap [B, ceil(ceil4(L)/8)]) for a 4x smaller host->device
+    transfer.
+
+    The host<->device link is the streaming pipeline's bottleneck long
+    before the chip is (PCIe shares bandwidth with everything else; a dev
+    tunnel is ~0.03 GB/s): 2 bits/base + 1 N-bit/base is lossless for the
+    5-code alphabet and cuts the wire bytes ~3.6x. Runs vectorized on the
+    host (typically inside the Prefetcher thread, overlapped with the
+    previous batch's transfer); parallel.dp.unpack_codes inverts it on
+    device with shifts — no gathers.
+    """
+    b, length = batch.shape
+    l4 = -(-length // 4) * 4
+    c = np.zeros((b, l4), np.uint8)
+    c[:, :length] = batch
+    # word-parallel packing: view 4 bytes as one uint32 and fold the four
+    # 2-bit codes into one byte with shifts (the naive strided
+    # two[..., i] gathers measured ~6x slower on a 2-core host). Codes
+    # are 0-4 and 4 & 3 == 0, so `& 3` zeroes the N contribution and
+    # bit 2 is exactly the N flag.
+    w32 = c.view(np.uint32)                       # [b, l4/4], zero-copy
+    two = w32 & np.uint32(0x03030303)
+    p32 = two | (two >> np.uint32(6)) | (two >> np.uint32(12)) \
+        | (two >> np.uint32(18))
+    packed = (p32 & np.uint32(0xFF)).astype(np.uint8)
+    nbytes_ = ((w32 >> np.uint32(2)) & np.uint32(0x01010101)).view(np.uint8)
+    l8 = -(-l4 // 8) * 8
+    if l8 != l4:
+        nm = np.zeros((b, l8), np.uint8)
+        nm[:, :l4] = nbytes_
+    else:
+        nm = nbytes_
+    nmask = np.packbits(nm, axis=-1, bitorder="little")
+    return packed, np.ascontiguousarray(nmask)
+
+
+def packed_batches(src) -> Iterator[tuple]:
+    """Wrap a (batch, n, ...) code-batch iterator so each batch is
+    pack_codes-compressed: yields ((packed, nmask, L), n, ...). Used by
+    ReadHashingPipeline.count_file(pack_h2d=True); running inside a
+    Prefetcher overlaps the packing with device work."""
+    for item in src:
+        batch = item[0]
+        packed, nmask = pack_codes(batch)
+        yield ((packed, nmask, batch.shape[1]),) + tuple(item[1:])
+
+
 def stream_code_batches(
     path,
     batch_size: int,

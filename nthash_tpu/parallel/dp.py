@@ -83,6 +83,87 @@ def fused_count(
     return cms.CountMinSketch(rows)
 
 
+def unpack_codes_tm(packed: jnp.ndarray, nmask: jnp.ndarray,
+                    length: int) -> jnp.ndarray:
+    """Invert io.stream.pack_codes on device straight into the kernels'
+    time-major layout: (2-bit planes [B, L4/4], N bitmap [B, L8/8]) ->
+    [length, B] int32 codes (0-4).
+
+    Shape discipline: interleaving bit-planes creates a new axis; keeping
+    the batch as the MINOR dim ([pos, plane, B] -> reshape) means every
+    intermediate has a 128-lane-friendly minor dimension. The obvious
+    batch-major form ([B, pos, 4] with a trailing size-4 dim) measured
+    ~30x slower on TPU — Mosaic/XLA pads the unit-ish minor dim to 128
+    lanes.
+    """
+    p_t = packed.T.astype(jnp.int32)                        # [L4/4, B]
+    codes = jnp.stack(
+        [(p_t >> (2 * r)) & 3 for r in range(4)], axis=1
+    ).reshape(-1, p_t.shape[1])                             # [L4, B]
+    n_t = nmask.T.astype(jnp.int32)                         # [L8/8, B]
+    nbits = jnp.stack(
+        [(n_t >> r) & 1 for r in range(8)], axis=1
+    ).reshape(-1, n_t.shape[1])[: codes.shape[0]]           # [L4, B]
+    return jnp.where(nbits != 0, jnp.int32(4), codes)[:length]
+
+
+def unpack_codes(packed: jnp.ndarray, nmask: jnp.ndarray,
+                 length: int) -> jnp.ndarray:
+    """Batch-major convenience inverse of io.stream.pack_codes:
+    -> [B, length] uint8. Production paths use :func:`unpack_codes_tm`
+    (see its shape-discipline note)."""
+    return unpack_codes_tm(packed, nmask, length).T.astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("k", "length", "mesh", "interpret"))
+def fused_count_packed(
+    packed: jnp.ndarray,
+    nmask: jnp.ndarray,
+    sketch: cms.CountMinSketch,
+    k: int,
+    length: int,
+    mesh: Mesh,
+    *,
+    interpret: bool = False,
+) -> cms.CountMinSketch:
+    """:func:`fused_count` over a pack_codes-compressed batch: the wire
+    carries 2 bits/base + 1 N-bit/base (~3.6x less host->device traffic —
+    the streaming pipeline's bottleneck link), and the codes are unpacked
+    on device inside each shard."""
+    from ..ops.kmer_pallas import hash_kmers_tm_auto
+
+    num_rows, width = sketch.rows.shape
+    width_log2 = width.bit_length() - 1
+
+    def local_step(local_packed, local_nmask, local_rows):
+        from ..ops.kmer_pallas import pad_reads
+
+        tm = unpack_codes_tm(local_packed, local_nmask, length)
+        b = tm.shape[1]
+        r = pad_reads(b, 1)
+        if r != b:  # pad the reads (minor) dim with the invalid code
+            tm = jnp.pad(tm, ((0, 0), (0, r - b)), constant_values=4)
+        buckets = hash_kmers_tm_auto(
+            tm, k, num_rows, emit_buckets=width_log2, interpret=interpret
+        )
+        counts = cms.update_from_buckets(
+            cms.CountMinSketch(jnp.zeros_like(local_rows)),
+            buckets,
+            emitted_width_log2=width_log2,
+            interpret=interpret,
+        ).rows
+        return local_rows + jax.lax.psum(counts, READS_AXIS)
+
+    rows = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(READS_AXIS, None), P(READS_AXIS, None), P()),
+        out_specs=P(),
+        check_vma=False,
+    )(packed, nmask, sketch.rows)
+    return cms.CountMinSketch(rows)
+
+
 @partial(
     jax.jit,
     static_argnames=(

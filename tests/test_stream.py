@@ -331,3 +331,37 @@ def test_parallel_parse_propagates_long_read_error(tmp_path):
     with pytest.raises(ValueError, match="exceeds the batch row length"):
         list(stream_code_batches_parallel(path, 64, read_length=8,
                                           threads=3))
+
+
+def test_pack_codes_roundtrip():
+    """pack_codes (host) -> unpack_codes (device) is lossless for all
+    5 codes at awkward lengths (non-multiples of 4 and 8)."""
+    import numpy as np
+
+    from nthash_tpu.io.stream import pack_codes
+    from nthash_tpu.parallel.dp import unpack_codes
+
+    rng = np.random.default_rng(7)
+    for L in (1, 3, 4, 7, 8, 31, 150):
+        batch = rng.integers(0, 5, size=(6, L), dtype=np.uint8)
+        packed, nmask = pack_codes(batch)
+        assert packed.shape == (6, -(-L // 4))
+        got = np.asarray(unpack_codes(packed, nmask, L))
+        assert np.array_equal(got, batch), L
+
+
+def test_count_file_packed_matches_unpacked(fastq):
+    """pack_h2d must be invisible to the result: identical sketch, same
+    read count (the wire format is the only difference)."""
+    import numpy as np
+
+    from nthash_tpu.models.pipeline import PipelineConfig, ReadHashingPipeline
+
+    path, seqs, n, L = fastq
+    cfg = dict(k=11, num_hashes=2, sketch_width_log2=12, n_devices=1)
+    a = ReadHashingPipeline(PipelineConfig(**cfg, pack_h2d=True))
+    na = a.count_file(path, batch_size=32, read_length=L)
+    b = ReadHashingPipeline(PipelineConfig(**cfg, pack_h2d=False))
+    nb = b.count_file(path, batch_size=32, read_length=L)
+    assert na == nb == n
+    assert np.array_equal(np.asarray(a.sketch.rows), np.asarray(b.sketch.rows))
