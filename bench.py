@@ -508,6 +508,14 @@ def main():
     for c in blind_codes:
         bh.roll(c)
     blind_rolls = len(blind_codes) / (time.perf_counter() - t0)
+    from nthash_tpu.api import SeedNtHash
+
+    sh = SeedNtHash(fac_seq[:100_004], SEEDS, 1, len(SEEDS[0]),
+                    engine="oracle")
+    sh.roll()  # tile compute outside the timer
+    t0 = time.perf_counter()
+    nsi = sum(1 for _ in sh)
+    facade_seed_iter = nsi / (time.perf_counter() - t0)
 
     # ---- streaming end to end: 10M-read FASTQ -> native parse thread ->
     # H2D -> fused count, fully overlapped (VERDICT r2 task 5) ------------
@@ -629,6 +637,7 @@ def main():
         "facade_rolls_per_s": round(facade_rolls, 1),
         "facade_iter_kmers_per_s": round(facade_iter, 1),
         "facade_blind_rolls_per_s": round(blind_rolls, 1),
+        "facade_seed_iter_kmers_per_s": round(facade_seed_iter, 1),
         "facade_note": "host-side per-call Python cost (engine=oracle); "
                        "reference C++ while(roll()) measures 10.3M "
                        "k-mers/s/core (BASELINE.md) — bulk work belongs "
