@@ -617,6 +617,11 @@ def main():
         "count_huge_scatter_kmers_per_s": round(count_huge_scatter, 1),
         "count_huge_vs_scatter": round(count_huge / count_huge_scatter, 2),
         "count_pipeline_rows": COUNT_ROWS,
+        # updates/s = kmers/s * rows — the roofline currency
+        # (docs/design.md §7: the VPU-bound envelope is per *update*)
+        "count_wide_updates_per_s": round(
+            count_metrics["count_wide"] * COUNT_ROWS, 1),
+        "count_huge_updates_per_s": round(count_huge * COUNT_ROWS, 1),
         "bloom_pipeline_kmers_per_s": round(
             bloom_metrics["bloom_pipeline"], 1),
         "bloom_width_log2": BLOOM_WIDTH_LOG2,
