@@ -780,3 +780,56 @@ def test_iter_bulk_fuzz_random_n_patterns():
                 trial, k, strict)
             for (p1, h1), (_, h2) in zip(refs, gots):
                 assert np.array_equal(h1, h2), (trial, k, strict, p1)
+
+
+def test_blind_mixed_walk_fuzz_vs_oracle():
+    """Random roll/roll_back/peek/peek_back walks must keep BlindNtHash's
+    inlined tap-table state bit-exact vs the oracle recomputed from the
+    window at every step (guards the hand-inlined split-rotates)."""
+    import numpy as np
+
+    from nthash_tpu import oracle
+    from nthash_tpu.api import BlindNtHash
+    from nthash_tpu.constants import extend_hashes
+
+    rng = np.random.default_rng(31337)
+    for k in (2, 5, 31, 64, 65):
+        seq0 = rng.integers(0, 4, size=k, dtype=np.uint8)
+        b = BlindNtHash(seq0, 3, k)
+        window = list(int(c) for c in seq0)
+        for step in range(300):
+            op = rng.integers(0, 4)
+            c = int(rng.integers(0, 4))
+            if op == 0:
+                b.roll(c)
+                window.pop(0)
+                window.append(c)
+            elif op == 1:
+                b.roll_back(c)
+                window.pop()
+                window.insert(0, c)
+            elif op == 2:
+                b.peek(c)
+                w2 = window[1:] + [c]
+                f = oracle.forward_hash(np.array(w2, np.uint8), k)
+                r = oracle.reverse_hash(np.array(w2, np.uint8), k)
+                assert np.array_equal(
+                    b.hashes(), np.array(extend_hashes(f, r, k, 3),
+                                         np.uint64)), (k, step)
+                continue
+            else:
+                b.peek_back(c)
+                w2 = [c] + window[:-1]
+                f = oracle.forward_hash(np.array(w2, np.uint8), k)
+                r = oracle.reverse_hash(np.array(w2, np.uint8), k)
+                assert np.array_equal(
+                    b.hashes(), np.array(extend_hashes(f, r, k, 3),
+                                         np.uint64)), (k, step)
+                continue
+            f = oracle.forward_hash(np.array(window, np.uint8), k)
+            r = oracle.reverse_hash(np.array(window, np.uint8), k)
+            assert b.get_forward_hash() == f, (k, step)
+            assert b.get_reverse_hash() == r, (k, step)
+            assert np.array_equal(
+                b.hashes(),
+                np.array(extend_hashes(f, r, k, 3), np.uint64)), (k, step)
