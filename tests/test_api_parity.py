@@ -833,3 +833,43 @@ def test_blind_mixed_walk_fuzz_vs_oracle():
             assert np.array_equal(
                 b.hashes(),
                 np.array(extend_hashes(f, r, k, 3), np.uint64)), (k, step)
+
+
+def test_blind_seed_mixed_walk_fuzz_vs_oracle():
+    """Random roll/roll_back walks of BlindSeedNtHash must stay bit-exact
+    vs the oracle's from-scratch spaced-seed hash of the current window
+    (guards the two-tap care-run rolling algebra under long walks)."""
+    import numpy as np
+
+    from nthash_tpu import oracle
+    from nthash_tpu.api import BlindSeedNtHash
+    from nthash_tpu.constants import extend_hashes
+
+    rng = np.random.default_rng(4242)
+    seeds = ("1011", "1101")
+    k = 4
+    care = [[i for i, ch in enumerate(s) if ch == "1"] for s in seeds]
+    seq0 = rng.integers(0, 4, size=k, dtype=np.uint8)
+    import warnings as w
+
+    with w.catch_warnings():
+        w.simplefilter("ignore")
+        b = BlindSeedNtHash(seq0, seeds, 2, k)
+    window = list(int(c) for c in seq0)
+    for step in range(400):
+        c = int(rng.integers(0, 4))
+        if rng.integers(0, 2) == 0:
+            b.roll(c)
+            window.pop(0)
+            window.append(c)
+        else:
+            b.roll_back(c)
+            window.pop()
+            window.insert(0, c)
+        wa = np.array(window, np.uint8)
+        exp = []
+        for pos_list in care:
+            f = oracle.seed_forward_hash(wa, k, pos_list)
+            r = oracle.seed_reverse_hash(wa, k, pos_list)
+            exp.extend(extend_hashes(f, r, k, 2))
+        assert np.array_equal(b.hashes(), np.array(exp, np.uint64)), step
