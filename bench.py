@@ -216,9 +216,9 @@ def main():
     from nthash_tpu.models import sketch as cms
     from nthash_tpu.models.pipeline import fused_count_step
 
-    # The partitioned path materializes sorted chunks + 3x-padded windows
-    # in HBM; a quarter batch keeps the wide metrics well under the 16 GB
-    # v5e HBM alongside the 600 MB code array.
+    # The partitioned path materializes sorted chunks + load-factor-padded
+    # windows in HBM; a quarter batch keeps the wide metrics well under
+    # the 16 GB v5e HBM alongside the 600 MB code array.
     Bw = 262_144
     tm_wide = tm[:, :Bw]
     count_metrics = {}
