@@ -873,3 +873,41 @@ def test_blind_seed_mixed_walk_fuzz_vs_oracle():
             r = oracle.seed_reverse_hash(wa, k, pos_list)
             exp.extend(extend_hashes(f, r, k, 2))
         assert np.array_equal(b.hashes(), np.array(exp, np.uint64)), step
+
+
+def test_iter_bulk_tiny_k_and_start_pos():
+    """Bulk iterators at k=1/k=2 (every-base windows) and with a nonzero
+    constructor start position must replay roll() exactly."""
+    import numpy as np
+
+    from nthash_tpu.api import NtHash, SeedNtHash
+
+    rng = np.random.default_rng(11)
+    seq = list("".join(np.array(list("ACGT"))[rng.integers(0, 4, 600)]))
+    for i in (0, 5, 300, 599):
+        seq[i] = "N"
+    seq = "".join(seq)
+    for k in (1, 2):
+        for pos in (0, 7, 250):
+            a = NtHash(seq, 2, k, pos, tile_windows=128)
+            ref = []
+            while a.roll():
+                ref.append((a.get_pos(), a.hashes().copy()))
+            b = NtHash(seq, 2, k, pos, tile_windows=128)
+            got = [(b.get_pos(), r.copy()) for r in b]
+            assert [p for p, _ in ref] == [p for p, _ in got], (k, pos)
+            for (_, h1), (_, h2) in zip(ref, got):
+                assert np.array_equal(h1, h2)
+    # spaced seeds from a mid-sequence start, both modes
+    for strict in (False, True):
+        c = SeedNtHash(seq, ("101",), 2, 3, 100, strict_n_init=strict,
+                       tile_windows=128)
+        ref = []
+        while c.roll():
+            ref.append((c.get_pos(), c.hashes().copy()))
+        d = SeedNtHash(seq, ("101",), 2, 3, 100, strict_n_init=strict,
+                       tile_windows=128)
+        got = [(d.get_pos(), r.copy()) for r in d]
+        assert [p for p, _ in ref] == [p for p, _ in got], strict
+        for (_, h1), (_, h2) in zip(ref, got):
+            assert np.array_equal(h1, h2)
